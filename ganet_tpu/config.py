@@ -1,0 +1,180 @@
+"""Typed configuration for models, training, and parallelism.
+
+The reference (feihuzhang/GANet) configures everything through argparse flags
+on `train.py` / `predict.py` (SURVEY.md §2 #12-13, §5 "Config / flag
+system").  Here the single source of truth is a set of frozen dataclasses;
+the root-level CLIs translate the reference's flag names onto these so the
+reference's command lines keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture preset.
+
+    Reference models: models/GANet_deep.py (preset "deep") and
+    models/GANet11.py (preset "11"); "small" is a CPU-runnable preset used
+    by tests and BASELINE.json config #1.
+    """
+
+    name: str = "GANet_deep"
+    max_disp: int = 192
+    # Channels of the shared feature extractor output (1/3 resolution).
+    feature_channels: int = 32
+    # Base channels of the 3D cost-aggregation hourglass.
+    agg_channels: int = 32
+    # Number of down/up hourglass cycles in the feature net (deep: 2).
+    feature_cycles: int = 2
+    # Number of down/up hourglass cycles in cost aggregation (deep: 2).
+    agg_cycles: int = 2
+    # Number of downsampling levels per hourglass cycle.
+    feature_levels: int = 4
+    agg_levels: int = 3
+    # SGA blocks: "deep" uses 3 full-res blocks + 4 half-res blocks
+    # (sga1..3, sga11..14 in models/GANet_deep.py per SURVEY.md §2 #7).
+    num_sga_full: int = 3
+    num_sga_half: int = 4
+    # LGA radius (K = 2*radius+1 = 5) and repeats in the DispAgg head.
+    lga_radius: int = 2
+    # Deep supervision heads (train mode returns this many disparity maps).
+    num_outputs: int = 3
+    # Compute dtype for conv stacks ("bfloat16" or "float32"); params f32.
+    compute_dtype: str = "float32"
+
+    @property
+    def disp_channels(self) -> int:
+        """Disparity bins of the 1/3-resolution cost volume."""
+        return self.max_disp // 3
+
+    def validate_image_shape(self, height: int, width: int) -> None:
+        div = 3 * 2 ** max(self.feature_levels, self.agg_levels)
+        if height % 48 != 0 or width % 48 != 0:
+            raise ValueError(
+                f"height/width must be multiples of 48 (got {height}x{width});"
+                f" the feature net works at 1/3 resolution with {div // 3}x"
+                " downsampling below that (reference models/GANet_deep.py"
+                " asserts the same)."
+            )
+        if self.max_disp % 12 != 0:
+            raise ValueError("max_disp must be divisible by 12")
+
+
+def ganet_deep(max_disp: int = 192, **kw) -> ModelConfig:
+    return ModelConfig(name="GANet_deep", max_disp=max_disp, **kw)
+
+
+def ganet11(max_disp: int = 192, **kw) -> ModelConfig:
+    """Lighter variant: one hourglass cycle, fewer SGA blocks.
+
+    Reference: models/GANet11.py (SURVEY.md §2 #8 — internals [MED]).
+    """
+    return ModelConfig(
+        name="GANet11",
+        max_disp=max_disp,
+        feature_cycles=1,
+        agg_cycles=1,
+        num_sga_full=2,
+        num_sga_half=1,
+        **kw,
+    )
+
+
+def ganet_small(max_disp: int = 48, **kw) -> ModelConfig:
+    """Tiny CPU-runnable preset (BASELINE.json config #1, tests)."""
+    return ModelConfig(
+        name="GANet_small",
+        max_disp=max_disp,
+        feature_channels=8,
+        agg_channels=8,
+        feature_cycles=1,
+        agg_cycles=1,
+        feature_levels=2,
+        agg_levels=1,
+        num_sga_full=1,
+        num_sga_half=1,
+        **kw,
+    )
+
+
+MODEL_PRESETS = {
+    "GANet_deep": ganet_deep,
+    "GANet11": ganet11,
+    "GANet_small": ganet_small,
+}
+
+
+def model_config(name: str, max_disp: int = 192, **kw) -> ModelConfig:
+    if name not in MODEL_PRESETS:
+        raise KeyError(f"unknown model {name!r}; choose from {sorted(MODEL_PRESETS)}")
+    return MODEL_PRESETS[name](max_disp=max_disp, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Mirrors reference dataloader flags (SURVEY.md §2 #9-11)."""
+
+    data_path: str = ""
+    training_list: str = "lists/sceneflow_train.list"
+    val_list: str = "lists/sceneflow_test_select.list"
+    crop_height: int = 240
+    crop_width: int = 528
+    # Dataset flavor: "sceneflow" (PFM disparity) | "kitti2012" | "kitti2015"
+    # (uint16 PNG / 256) | "synthetic" (generated, for tests & bench).
+    kind: str = "sceneflow"
+    left_right: bool = False  # also return right-view GT (reference --left_right)
+    shuffle: bool = True
+    num_prefetch: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """Adam + step decay, matching reference train.py (SURVEY.md §2 #12)."""
+
+    lr: float = 1e-3
+    beta1: float = 0.9
+    beta2: float = 0.999
+    # Step decay: multiply lr by `decay_factor` at epoch `decay_epoch`
+    # (reference KITTI fine-tune drops lr 10x late in training).
+    decay_epoch: Optional[int] = None
+    decay_factor: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Logical device mesh. axes: data (batch), space (H of the cost volume),
+    disp (disparity bins).  The reference only has single-process
+    DataParallel (SURVEY.md §2 parallelism census); this is the layer it
+    lacks."""
+
+    data: int = 1
+    space: int = 1
+    disp: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.space * self.disp
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ganet_deep)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    batch_size: int = 8
+    num_epochs: int = 10
+    steps_per_epoch: Optional[int] = None  # None = full dataset
+    save_path: str = "./checkpoint/"
+    resume: str = ""
+    seed: int = 0
+    # Deep-supervision loss weights over (disp0, disp1, disp2); reference
+    # train.py uses 0.2/0.6/1.0 (SURVEY.md §2 #12).
+    loss_weights: Tuple[float, ...] = (0.2, 0.6, 1.0)
+    log_every: int = 10
+    keep_checkpoints: int = 5
+    use_pallas: bool = True  # Pallas SGA/LGA kernels vs pure-JAX scan ops

@@ -1,0 +1,126 @@
+"""Semi-Global Aggregation (SGA) — pure-JAX reference implementation.
+
+Semantics (GA-Net paper eq. 5-6; reference CUDA kernels
+libGANet/src/GANet_kernel.cu `sga_cuda_forward/backward`, SURVEY.md §0/§2
+#1):  for each of four directions r in {left->right, right->left,
+top->bottom, bottom->top}, sweep the cost volume sequentially along the
+direction with the recurrence (per batch b, channel c, disparity d, pixel p)
+
+    A_r(p, d) = w0(p) * C(p, d)
+              + w1(p) * A_r(p - r, d)
+              + w2(p) * A_r(p - r, d - 1)
+              + w3(p) * A_r(p - r, d + 1)
+              + w4(p) * max_{d'} A_r(p - r, d')
+
+where the five weights are per-(pixel, channel, direction), normalized to
+unit L1 mass by the caller (see `ops.normalize.l1_normalize`; the
+normalization lives in the model's SGABlock exactly as in the reference).
+At the first pixel of each sweep A_r = C (no predecessor).  Out-of-range
+disparity neighbors (d-1 < 0, d+1 >= D) contribute zero.  The four
+directional results are fused by an elementwise **max over directions** —
+the paper's deliberate departure from SGM's sum.
+
+TPU-first design: each sweep is a `lax.scan` along the sweep axis whose
+carry is the previous aggregated slice (B, D, P, C) — the step body is a
+handful of fused VPU elementwise ops plus one D-axis max, and the
+perpendicular axis x disparity x channel provide ample vector parallelism.
+This file is the differentiable semantics oracle (autodiff flows through
+`lax.scan`); `sga_pallas.py` is the performance kernel checked against it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Direction order — fixed convention used across the codebase and kernels:
+# 0: left->right (+W), 1: right->left (-W), 2: top->bottom (+H),
+# 3: bottom->top (-H).
+DIRECTIONS = ("lr", "rl", "tb", "bt")
+
+
+def _sweep_along_leading(xs: jnp.ndarray, ws: jnp.ndarray) -> jnp.ndarray:
+    """Scan the recurrence along the leading axis.
+
+    Args:
+      xs: (L, B, D, P, C) cost slices along the sweep axis.
+      ws: (L, B, P, C, 5) normalized weights along the sweep axis.
+    Returns:
+      (L, B, D, P, C) aggregated slices.
+    """
+
+    def step(prev, inputs):
+        xt, wt = inputs  # (B, D, P, C), (B, P, C, 5)
+        w = jnp.moveaxis(wt, -1, 0)[:, :, None]  # (5, B, 1, P, C)
+        prev_dm1 = jnp.pad(prev[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+        prev_dp1 = jnp.pad(prev[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+        prev_max = jnp.max(prev, axis=1, keepdims=True)
+        out = (
+            w[0] * xt
+            + w[1] * prev
+            + w[2] * prev_dm1
+            + w[3] * prev_dp1
+            + w[4] * prev_max
+        )
+        return out, out
+
+    first = xs[0]
+    if xs.shape[0] == 1:
+        return first[None]
+    _, rest = lax.scan(step, first, (xs[1:], ws[1:]))
+    return jnp.concatenate([first[None], rest], axis=0)
+
+
+def sga_sweep(
+    x: jnp.ndarray, w: jnp.ndarray, axis: str, reverse: bool
+) -> jnp.ndarray:
+    """One directional sweep.
+
+    Args:
+      x: cost volume (B, D, H, W, C).
+      w: weights for this direction (B, H, W, C, 5), L1-normalized over the
+        last axis by the caller.
+      axis: "h" (vertical sweep) or "w" (horizontal sweep).
+      reverse: sweep from the far edge backwards.
+    Returns:
+      aggregated volume, same shape as x.
+    """
+    if axis not in ("h", "w"):
+        raise ValueError(f"axis must be 'h' or 'w', got {axis!r}")
+    spatial = 2 if axis == "h" else 3  # index into (B, D, H, W, C)
+    w_spatial = 1 if axis == "h" else 2  # index into (B, H, W, C, 5)
+
+    if reverse:
+        x = jnp.flip(x, axis=spatial)
+        w = jnp.flip(w, axis=w_spatial)
+
+    xs = jnp.moveaxis(x, spatial, 0)  # (L, B, D, P, C)
+    ws = jnp.moveaxis(w, w_spatial, 0)  # (L, B, P, C, 5)
+    out = _sweep_along_leading(xs, ws)
+    out = jnp.moveaxis(out, 0, spatial)
+
+    if reverse:
+        out = jnp.flip(out, axis=spatial)
+    return out
+
+
+def sga(x: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """Full SGA: four directional sweeps fused by max over directions.
+
+    Args:
+      x: cost volume (B, D, H, W, C).
+      weights: (B, H, W, C, 4, 5) — per-direction 5-weight sets in the
+        DIRECTIONS order, each L1-normalized over the last axis.
+    Returns:
+      (B, D, H, W, C) aggregated volume.
+    """
+    if weights.shape[-2:] != (4, 5):
+        raise ValueError(f"weights must end in (4, 5), got {weights.shape}")
+    out_lr = sga_sweep(x, weights[..., 0, :], axis="w", reverse=False)
+    out_rl = sga_sweep(x, weights[..., 1, :], axis="w", reverse=True)
+    out_tb = sga_sweep(x, weights[..., 2, :], axis="h", reverse=False)
+    out_bt = sga_sweep(x, weights[..., 3, :], axis="h", reverse=True)
+    return jnp.maximum(
+        jnp.maximum(out_lr, out_rl), jnp.maximum(out_tb, out_bt)
+    )

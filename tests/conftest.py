@@ -1,0 +1,33 @@
+"""Test configuration.
+
+Tests run on CPU with 8 faked XLA host devices so that mesh/sharding tests
+work without TPU hardware (SURVEY.md §4 "Distributed tests without a
+cluster").  Must be set before jax is imported anywhere.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Force CPU even when the environment pre-registers the axon TPU backend
+# (this box's sitecustomize imports jax with JAX_PLATFORMS=axon before
+# conftest runs, so the env var alone is latched too late — use the config
+# API).  Unit tests must be fast and hardware-independent; set
+# GANET_TEST_TPU=1 to run the suite against the real chip instead.
+if os.environ.get("GANET_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
