@@ -45,6 +45,11 @@ class ModelConfig:
     num_outputs: int = 3
     # Compute dtype for conv stacks ("bfloat16" or "float32"); params f32.
     compute_dtype: str = "float32"
+    # SGA/LGA kernel implementation: "scan" (pure-JAX oracle), "pallas"
+    # (TPU kernels), or "auto" (pallas on TPU backends, scan elsewhere).
+    sga_impl: str = "auto"
+    # LGA applications in the DispAgg head (reference uses LGA2 = 2 passes).
+    lga_repeats: int = 2
 
     @property
     def disp_channels(self) -> int:
@@ -80,6 +85,7 @@ def ganet11(max_disp: int = 192, **kw) -> ModelConfig:
         agg_cycles=1,
         num_sga_full=2,
         num_sga_half=1,
+        num_outputs=2,
         **kw,
     )
 
@@ -95,8 +101,9 @@ def ganet_small(max_disp: int = 48, **kw) -> ModelConfig:
         agg_cycles=1,
         feature_levels=2,
         agg_levels=1,
-        num_sga_full=1,
+        num_sga_full=2,
         num_sga_half=1,
+        num_outputs=2,
         **kw,
     )
 

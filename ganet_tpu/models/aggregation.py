@@ -1,0 +1,234 @@
+"""Cost aggregation: 3D-conv hourglass interleaved with SGA blocks, plus
+the disparity heads.
+
+Reference: `CostAggregation`, `SGABlock`, `Disp`, `DispAgg` in
+models/GANet_deep.py (SURVEY.md §0 steps 3-5, §2 #7).  For the deep preset
+(base 32 channels, 3 levels, 2 cycles) this reproduces the reference
+layout: conv_start -> sga1 -> [disp0] -> conv1a + sga11 -> conv2a -> conv3a
+-> deconv3a -> deconv2a + sga12 -> deconv1a -> sga2 -> [disp1] -> conv1b +
+sga13 -> ... -> deconv1b -> sga3 -> DispAgg -> disp2, with SGA blocks at
+1/3 resolution (C channels) and 1/6 resolution (1.5C channels).
+
+TPU-first notes: the cost volume is kept channels-last (B, D, H, W, C) so
+3D convs lower to MXU matmuls over the channel axis; SGA/LGA dispatch to
+either the lax.scan oracle or the Pallas kernels (ops/dispatch.py).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ganet_tpu.config import ModelConfig
+from ganet_tpu.models.layers import BasicConv, Conv2x, channel_schedule
+from ganet_tpu.ops import dispatch
+from ganet_tpu.ops.disparity import disparity_regression, trilinear_upsample
+from ganet_tpu.ops.normalize import l1_normalize
+
+
+class SGABlock(nn.Module):
+    """SGA + BN/refine conv + residual ReLU (reference SGABlock)."""
+
+    channels: int
+    cfg: ModelConfig
+    refine: bool = True
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, g: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        C = self.channels
+        if x.shape[-1] != C:
+            raise ValueError(f"SGABlock expects {C} channels, got {x.shape}")
+        if g.shape[-1] != 4 * 5 * C:
+            raise ValueError(
+                f"guidance must have {4 * 5 * C} channels, got {g.shape}"
+            )
+        rem = x
+        B, H, W = g.shape[0], g.shape[1], g.shape[2]
+        # Packing: head emits (dir, weight, channel) fastest-last; regroup to
+        # (B, H, W, C, 4, 5) and L1-normalize the 5-weight sets.
+        k = g.reshape(B, H, W, 4, 5, C)
+        k = jnp.moveaxis(k, -1, 3)  # (B, H, W, C, 4, 5)
+        k = l1_normalize(k, axis=-1)
+        x = dispatch.sga(x, k, impl=cfg.sga_impl)
+        if self.refine:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(x)
+            x = nn.relu(x)
+            x = BasicConv(C, 3, is_3d=True, relu=False)(x, train)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(x)
+        return nn.relu(x + rem)
+
+
+class DispHead(nn.Module):
+    """Aggregated volume -> disparity map (reference `Disp`):
+    3D conv C->1, trilinear upsample x3 (D, H, W), softmax over negated
+    cost, expectation."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        x = nn.Conv(
+            1,
+            (3, 3, 3),
+            padding="SAME",
+            use_bias=False,
+            kernel_init=nn.initializers.he_normal(),
+        )(x)
+        x = x[..., 0]  # (B, Dr, H3, W3)
+        D = cfg.max_disp
+        H, W = x.shape[2] * 3, x.shape[3] * 3
+        x = trilinear_upsample(x.astype(jnp.float32), (D, H, W))
+        p = nn.softmax(-x, axis=1)
+        return disparity_regression(p, D)
+
+
+class DispAggHead(nn.Module):
+    """Final head with LGA refinement (reference `DispAgg`): LGA before the
+    softmax (cost sharpening) and after it (probability sharpening), then
+    re-normalization and expectation."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        lg1: jnp.ndarray,
+        lg2: jnp.ndarray,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        r = cfg.lga_radius
+        x = nn.Conv(
+            1,
+            (3, 3, 3),
+            padding="SAME",
+            use_bias=False,
+            kernel_init=nn.initializers.he_normal(),
+        )(x)
+        x = x[..., 0]
+        D = cfg.max_disp
+        H, W = x.shape[2] * 3, x.shape[3] * 3
+        x = trilinear_upsample(x.astype(jnp.float32), (D, H, W))
+        lg1 = l1_normalize(lg1.astype(jnp.float32), axis=-1)
+        lg2 = l1_normalize(lg2.astype(jnp.float32), axis=-1)
+        x = dispatch.lga(
+            x, lg1, radius=r, repeats=cfg.lga_repeats, impl=cfg.sga_impl
+        )
+        p = nn.softmax(-x, axis=1)
+        p = dispatch.lga(
+            p, lg2, radius=r, repeats=cfg.lga_repeats, impl=cfg.sga_impl
+        )
+        # Re-normalize to a probability distribution (reference
+        # F.normalize(p=1)); clamp the denominator for safety.
+        p = p / jnp.maximum(jnp.sum(jnp.abs(p), axis=1, keepdims=True), 1e-6)
+        return disparity_regression(p, D)
+
+
+class CostAggregation(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        cv: jnp.ndarray,
+        guidance: dict,
+        train: bool = False,
+    ) -> List[jnp.ndarray]:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        C = cfg.agg_channels
+        levels = cfg.agg_levels
+        cycles = cfg.agg_cycles
+        chans = channel_schedule(C, levels)
+        sg_full = list(guidance["sg_full"])
+        sg_half = list(guidance["sg_half"])
+        full_i = 0
+        half_i = 0
+
+        def conv3(feats, stride=1, relu=True):
+            return BasicConv(
+                feats, 3, stride=stride, is_3d=True, relu=relu, dtype=dtype
+            )
+
+        def maybe_sga_full(x):
+            nonlocal full_i
+            if full_i < len(sg_full):
+                x = SGABlock(chans[0], cfg, name=f"sga_full{full_i}")(
+                    x, sg_full[full_i], train
+                )
+                full_i += 1
+            return x
+
+        def maybe_sga_half(x):
+            nonlocal half_i
+            if half_i < len(sg_half):
+                x = SGABlock(chans[1], cfg, name=f"sga_half{half_i}")(
+                    x, sg_half[half_i], train
+                )
+                half_i += 1
+            return x
+
+        outputs: List[jnp.ndarray] = []
+
+        x = conv3(C, relu=False)(cv, train)
+        x = maybe_sga_full(x)
+        if train:
+            outputs.append(DispHead(cfg, name="disp0")(x, train))
+
+        rem = [None] * (levels + 1)
+        rem[0] = x
+        # Initial descent.
+        for i in range(levels):
+            x = conv3(chans[i + 1], stride=2)(x, train)
+            if i == 0:
+                x = maybe_sga_half(x)
+            rem[i + 1] = x
+        for cycle in range(cycles):
+            # Ascent.
+            for i in range(levels, 0, -1):
+                arriving_full = i - 1 == 0
+                x = Conv2x(
+                    chans[i - 1],
+                    deconv=True,
+                    is_3d=True,
+                    relu=not arriving_full,
+                    dtype=dtype,
+                )(x, rem[i - 1], train)
+                if i - 1 == 1:
+                    x = maybe_sga_half(x)
+                rem[i - 1] = x
+            x = maybe_sga_full(x)
+            rem[0] = x
+            last_cycle = cycle == cycles - 1
+            if not last_cycle:
+                if train:
+                    outputs.append(
+                        DispHead(cfg, name=f"disp{cycle + 1}")(x, train)
+                    )
+                # Re-descent.
+                for i in range(levels):
+                    x = Conv2x(chans[i + 1], is_3d=True, dtype=dtype)(
+                        x, rem[i + 1], train
+                    )
+                    if i == 0:
+                        x = maybe_sga_half(x)
+                    rem[i + 1] = x
+
+        outputs.append(
+            DispAggHead(cfg, name="disp_final")(
+                x, guidance["lg1"], guidance["lg2"], train
+            )
+        )
+        return outputs

@@ -1,0 +1,128 @@
+"""Shared conv building blocks.
+
+Reference: `BasicConv` and `Conv2x` in models/GANet_deep.py (SURVEY.md §2
+#7): conv-or-deconv (2D or 3D) + BatchNorm + ReLU, and the down/up
+skip-concat pair used by every hourglass in the network.
+
+TPU-first notes: channels-last layouts (NHWC / NDHWC) so channels ride the
+128-lane axis and convs hit the MXU; 'SAME' padding everywhere (equivalent
+to the reference's explicit symmetric padding at these kernel sizes);
+parameters live in float32, compute dtype is configurable (bfloat16 for the
+performance path — the MXU's native input type).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class BasicConv(nn.Module):
+    """Conv/deconv + optional BatchNorm + optional ReLU (2D or 3D)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    is_3d: bool = False
+    deconv: bool = False
+    use_bn: bool = True
+    relu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        dims = 3 if self.is_3d else 2
+        strides = (self.stride,) * dims
+        if self.deconv:
+            # Stride-2 deconv uses a 4-wide kernel for exact 2x upsampling
+            # (reference uses ConvTranspose(kernel=4, stride=2, padding=1)).
+            k = 4 if self.stride == 2 else self.kernel_size
+            x = nn.ConvTranspose(
+                self.features,
+                kernel_size=(k,) * dims,
+                strides=strides,
+                padding="SAME",
+                use_bias=not self.use_bn,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.he_normal(),
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=(self.kernel_size,) * dims,
+                strides=strides,
+                padding="SAME",
+                kernel_dilation=(self.dilation,) * dims,
+                use_bias=not self.use_bn,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.he_normal(),
+            )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+            )(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class Conv2x(nn.Module):
+    """Down- or up-sampling conv followed by skip-concat and a fusing conv.
+
+    forward(x, rem): resample x by 2x (conv stride 2, or deconv stride 2),
+    concat with the skip tensor `rem` (same spatial shape after resampling),
+    then a 3x3(x3) conv back to `features` channels.  Mirrors reference
+    Conv2x (models/GANet_deep.py)."""
+
+    features: int
+    deconv: bool = False
+    is_3d: bool = False
+    relu: bool = True  # relu of the fusing conv (reference passes relu=False
+    # on the last deconv before an SGA block, which BN+ReLUs itself)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, rem: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        x = BasicConv(
+            self.features,
+            kernel_size=3,
+            stride=2,
+            is_3d=self.is_3d,
+            deconv=self.deconv,
+            dtype=self.dtype,
+        )(x, train)
+        if x.shape[:-1] != rem.shape[:-1]:
+            raise ValueError(
+                f"Conv2x skip mismatch: {x.shape} vs rem {rem.shape}"
+            )
+        x = jnp.concatenate([x, rem], axis=-1)
+        x = BasicConv(
+            self.features,
+            kernel_size=3,
+            stride=1,
+            is_3d=self.is_3d,
+            relu=self.relu,
+            dtype=self.dtype,
+        )(x, train)
+        return x
+
+
+def channel_schedule(base: int, levels: int) -> list[int]:
+    """Hourglass channel widths per level.
+
+    For base=32, levels=4 -> [32, 48, 64, 96, 128], the reference's feature
+    net schedule (models/GANet_deep.py Feature)."""
+    mults = [1.0, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0]
+    if levels + 1 > len(mults):
+        raise ValueError(f"too many levels: {levels}")
+    return [max(1, int(base * m)) for m in mults[: levels + 1]]

@@ -1,0 +1,58 @@
+"""Implementation dispatch for the hot ops.
+
+Selects between the pure-JAX scan/stencil ops (semantics oracle, any
+backend) and the Pallas TPU kernels (performance path).  This replaces the
+reference's build-time switch — there, using the fast path required
+compiling the CUDA extension (libGANet/setup.py, SURVEY.md §3.4); here both
+paths are always importable and numerically interchangeable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ganet_tpu.ops.lga import lga as _lga_scan
+from ganet_tpu.ops.sga import sga as _sga_scan
+
+
+@functools.cache
+def _default_backend_is_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def resolve_impl(impl: str) -> str:
+    if impl == "auto":
+        return "pallas" if _default_backend_is_tpu() else "scan"
+    if impl not in ("scan", "pallas"):
+        raise ValueError(f"unknown sga impl {impl!r}")
+    return impl
+
+
+def sga(x: jnp.ndarray, weights: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
+    impl = resolve_impl(impl)
+    if impl == "pallas":
+        from ganet_tpu.ops import sga_pallas  # deferred: optional path
+
+        return sga_pallas.sga(x, weights)
+    return _sga_scan(x, weights)
+
+
+def lga(
+    x: jnp.ndarray,
+    g: jnp.ndarray,
+    radius: int = 2,
+    repeats: int = 1,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    impl = resolve_impl(impl)
+    if impl == "pallas":
+        from ganet_tpu.ops import lga_pallas
+
+        return lga_pallas.lga(x, g, radius=radius, repeats=repeats)
+    return _lga_scan(x, g, radius=radius, repeats=repeats)

@@ -1,0 +1,109 @@
+"""Model shape / init / forward tests (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ganet_tpu.config import ganet11, ganet_deep, ganet_small, model_config
+from ganet_tpu.models import GANet
+
+
+def _init_and_apply(cfg, H, W, train, B=1):
+    model = GANet(cfg)
+    rng = jax.random.PRNGKey(0)
+    left = jnp.ones((B, H, W, 3), jnp.float32) * 0.1
+    right = jnp.ones((B, H, W, 3), jnp.float32) * 0.2
+    # Init in train mode so the deep-supervision head params exist (the
+    # reference creates all modules in __init__ unconditionally).
+    variables = model.init(rng, left, right, train=True)
+    if train:
+        out, updates = model.apply(
+            variables, left, right, train=True, mutable=["batch_stats"]
+        )
+        return out, variables, updates
+    return model.apply(variables, left, right, train=False), variables, None
+
+
+class TestGANetSmall:
+    def test_eval_forward_shape(self):
+        cfg = ganet_small(max_disp=24)
+        out, variables, _ = _init_and_apply(cfg, 48, 96, train=False)
+        assert out.shape == (1, 48, 96)
+        assert np.isfinite(np.asarray(out)).all()
+        # The final head's signed LGA weights mean untrained output is not
+        # strictly range-bound (same as the reference's DispAgg); sanity-check
+        # magnitude only.
+        assert float(jnp.abs(out).max()) < 2 * cfg.max_disp
+
+    def test_train_forward_outputs(self):
+        cfg = ganet_small(max_disp=24)
+        outs, variables, updates = _init_and_apply(cfg, 48, 96, train=True)
+        assert isinstance(outs, list) and len(outs) == cfg.num_outputs
+        for o in outs:
+            assert o.shape == (1, 48, 96)
+            assert np.isfinite(np.asarray(o)).all()
+        assert "batch_stats" in updates
+
+    def test_invalid_shape_rejected(self):
+        cfg = ganet_small(max_disp=24)
+        with pytest.raises(ValueError, match="multiples of 48"):
+            _init_and_apply(cfg, 50, 96, train=False)
+
+    def test_grads_finite(self):
+        cfg = ganet_small(max_disp=24)
+        model = GANet(cfg)
+        rng = jax.random.PRNGKey(0)
+        left = jax.random.normal(rng, (1, 48, 96, 3))
+        right = jax.random.normal(jax.random.PRNGKey(1), (1, 48, 96, 3))
+        variables = model.init(rng, left, right, train=True)
+
+        def loss_fn(params):
+            outs, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                left,
+                right,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return sum(jnp.mean(o**2) for o in outs)
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+        # Every parameter should receive gradient signal somewhere.
+        total = sum(float(jnp.abs(g).sum()) for g in leaves)
+        assert total > 0
+
+
+class TestPresets:
+    def test_param_counts_ordered(self):
+        # deep > 11 > small in parameter count.
+        counts = {}
+        for name, cfg in [
+            ("small", ganet_small(max_disp=24)),
+            ("11", ganet11(max_disp=24)),
+            ("deep", ganet_deep(max_disp=24)),
+        ]:
+            model = GANet(cfg)
+            variables = jax.eval_shape(
+                lambda: model.init(
+                    jax.random.PRNGKey(0),
+                    jnp.ones((1, 48, 96, 3)),
+                    jnp.ones((1, 48, 96, 3)),
+                    train=False,
+                )
+            )
+            counts[name] = sum(
+                int(np.prod(x.shape))
+                for x in jax.tree_util.tree_leaves(variables["params"])
+            )
+        assert counts["small"] < counts["11"] < counts["deep"]
+        # GANet-deep should be in the single-digit-millions range like the
+        # reference (~6.5M).
+        assert 1e6 < counts["deep"] < 3e7, counts
+
+    def test_model_config_lookup(self):
+        assert model_config("GANet_deep").name == "GANet_deep"
+        with pytest.raises(KeyError):
+            model_config("nope")
