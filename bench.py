@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark: stereo pairs/sec/chip, GANet-deep inference at 576x960.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference GANet-deep runs ~1.8 s/pair at 1242x375 (0.466 MP)
+on the KITTI leaderboard GPU (BASELINE.md).  Scaled to 576x960 (0.553 MP,
+x1.19 pixels) that is ~2.13 s/pair => 0.47 pairs/s — the vs_baseline
+denominator.
+
+Flags:
+  --quick     smaller model/size (smoke run)
+  --model     GANet_deep (default) | GANet11 | GANet_small
+  --height/--width/--max_disp/--batch  override the benchmark config
+  --dtype     bfloat16 (default) | float32
+  --impl      auto | scan | pallas
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_PAIRS_PER_S = 0.47
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--model", default="GANet_deep")
+    p.add_argument("--height", type=int, default=576)
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--max_disp", type=int, default=192)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--impl", default="auto")
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args(argv)
+
+    if args.quick:
+        args.model, args.height, args.width, args.max_disp = (
+            "GANet_small", 96, 192, 24,
+        )
+
+    from ganet_tpu.utils.platform import apply_platform_overrides
+
+    apply_platform_overrides()
+    import jax
+    import jax.numpy as jnp
+
+    from ganet_tpu.config import model_config
+    from ganet_tpu.models import GANet
+    from ganet_tpu.utils.profiling import benchmark_fn
+
+    cfg = model_config(
+        args.model,
+        max_disp=args.max_disp,
+        compute_dtype=args.dtype,
+        sga_impl=args.impl,
+    )
+    model = GANet(cfg)
+    B, H, W = args.batch, args.height, args.width
+    key = jax.random.PRNGKey(0)
+    left = jax.random.normal(key, (B, H, W, 3), jnp.float32)
+    right = jax.random.normal(key, (B, H, W, 3), jnp.float32)
+
+    t0 = time.time()
+    variables = jax.jit(lambda k: model.init(k, left, right, train=True))(key)
+    jax.block_until_ready(variables)
+    init_s = time.time() - t0
+
+    fwd = jax.jit(lambda v, l, r: model.apply(v, l, r, train=False))
+    t0 = time.time()
+    jax.block_until_ready(fwd(variables, left, right))
+    compile_s = time.time() - t0
+
+    sec_per_call, _ = benchmark_fn(
+        fwd, variables, left, right, warmup=1, iters=args.iters
+    )
+    pairs_per_s = B / sec_per_call
+
+    print(
+        f"# model={cfg.name} {H}x{W} D={cfg.max_disp} batch={B} "
+        f"dtype={args.dtype} impl={args.impl} backend={jax.default_backend()} "
+        f"init={init_s:.1f}s compile={compile_s:.1f}s "
+        f"latency={sec_per_call * 1e3:.1f}ms",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"stereo_pairs_per_sec_per_chip_{H}x{W}_{cfg.name}",
+                "value": round(pairs_per_s, 4),
+                "unit": "pairs/s/chip",
+                "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

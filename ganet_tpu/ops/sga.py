@@ -40,14 +40,21 @@ from jax import lax
 DIRECTIONS = ("lr", "rl", "tb", "bt")
 
 
-def _sweep_along_leading(xs: jnp.ndarray, ws: jnp.ndarray) -> jnp.ndarray:
+def _sweep_along_leading(
+    xs: jnp.ndarray, ws: jnp.ndarray, reverse: bool
+) -> jnp.ndarray:
     """Scan the recurrence along the leading axis.
+
+    Reverse sweeps use lax.scan(reverse=True) rather than materialized
+    jnp.flip: besides saving two full-volume copies, flip composed with
+    scan has been observed to miscompile on the TPU backend at large
+    shapes (the Pallas kernels avoid flips for the same reason).
 
     Args:
       xs: (L, B, D, P, C) cost slices along the sweep axis.
       ws: (L, B, P, C, 5) normalized weights along the sweep axis.
     Returns:
-      (L, B, D, P, C) aggregated slices.
+      (L, B, D, P, C) aggregated slices (in array order).
     """
 
     def step(prev, inputs):
@@ -65,9 +72,13 @@ def _sweep_along_leading(xs: jnp.ndarray, ws: jnp.ndarray) -> jnp.ndarray:
         )
         return out, out
 
-    first = xs[0]
     if xs.shape[0] == 1:
-        return first[None]
+        return xs[:1]
+    if reverse:
+        first = xs[-1]
+        _, rest = lax.scan(step, first, (xs[:-1], ws[:-1]), reverse=True)
+        return jnp.concatenate([rest, first[None]], axis=0)
+    first = xs[0]
     _, rest = lax.scan(step, first, (xs[1:], ws[1:]))
     return jnp.concatenate([first[None], rest], axis=0)
 
@@ -91,18 +102,10 @@ def sga_sweep(
     spatial = 2 if axis == "h" else 3  # index into (B, D, H, W, C)
     w_spatial = 1 if axis == "h" else 2  # index into (B, H, W, C, 5)
 
-    if reverse:
-        x = jnp.flip(x, axis=spatial)
-        w = jnp.flip(w, axis=w_spatial)
-
     xs = jnp.moveaxis(x, spatial, 0)  # (L, B, D, P, C)
     ws = jnp.moveaxis(w, w_spatial, 0)  # (L, B, P, C, 5)
-    out = _sweep_along_leading(xs, ws)
-    out = jnp.moveaxis(out, 0, spatial)
-
-    if reverse:
-        out = jnp.flip(out, axis=spatial)
-    return out
+    out = _sweep_along_leading(xs, ws, reverse)
+    return jnp.moveaxis(out, 0, spatial)
 
 
 def sga(x: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,328 @@
+"""Semi-Global Aggregation — Pallas TPU kernels.
+
+TPU-native replacement for the reference's hand-written CUDA kernels
+(libGANet/src/GANet_kernel.cu sga_cuda_forward/backward, SURVEY.md §2 #1):
+each directional sweep is a sequential recurrence along one spatial axis,
+vectorized over (disparity x perpendicular-axis) on the VPU.
+
+Kernel geometry (per sweep):
+  canonical layout (N, D, L, M):
+    N = batch * channels   (grid dim, embarrassingly parallel)
+    D = disparity bins     (sublanes; shifts/max run along this axis)
+    L = sweep axis         (sequential; blocked, carry persists in VMEM
+                            scratch across L-blocks — the TPU grid iterates
+                            the last grid dim innermost, so blocks of the
+                            same (n, m) line run back-to-back)
+    M = perpendicular axis (lanes, 128-wide tiles)
+  Horizontal sweeps transpose H<->W outside the kernel so that the sweep
+  axis is never the lane axis.  Reverse sweeps are NOT materialized as
+  flips: the kernel walks L-blocks in reverse via the BlockSpec index map
+  and iterates within blocks back-to-front.  (Besides saving four
+  full-volume copies per direction pair, this sidesteps an XLA
+  layout/fusion miscompile observed when jnp.flip composes with the
+  pallas custom call at large shapes.)
+
+The recurrence per sweep step s at position l (weights L1-normalized by
+the caller, first step copies the input — same semantics as ops/sga.py,
+which is the tested oracle for this kernel):
+
+    A[s] = w0*x[l] + w1*A[s-1] + w2*A[s-1](d-1) + w3*A[s-1](d+1)
+         + w4*max_d A[s-1]
+
+Backward (custom VJP, derived from the recurrence transpose; g is the
+gradient carry running in the opposite order of the forward sweep):
+
+    g[s]   = gbar[l] + w1[s+1]*g[s+1] + w2[s+1]*g[s+1](shift-up)
+           + w3[s+1]*g[s+1](shift-down)
+           + w4[s+1]*(sum_d g[s+1]) * onehot(argmax_d A[s])
+    dx[l]  = w0[l]*g[s]              (dx at s==0 is g)
+    dw*[l] = per-weight contractions of g[s] with x[l] / shifted A[s-1]
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _pick_l_block(D: int, L: int, budget_bytes: int) -> int:
+    """Largest L-block such that one (D, Lb, 128) f32 block fits budget."""
+    per_step = D * _LANES * 4
+    lb = max(8, budget_bytes // per_step)
+    return int(min(L, lb))
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _make_fwd_kernel(L_total: int, Lb: int, nlb: int, reverse: bool):
+    def kernel(x_ref, w_ref, o_ref, carry_ref):
+        """x (1, D, Lb, Mt), w (1, 5, Lb, Mt), o (1, D, Lb, Mt),
+        carry (D, Mt) VMEM scratch persisting across L-blocks."""
+        lb = pl.program_id(2)
+        block_index = (nlb - 1 - lb) if reverse else lb
+
+        @pl.when(lb == 0)
+        def _():
+            carry_ref[:] = jnp.zeros_like(carry_ref)
+
+        def step(j, prev):
+            i = (Lb - 1 - j) if reverse else j
+            l_global = block_index * Lb + i
+            # Partial tail block: in forward order it is visited last, so
+            # out-of-range steps cannot contaminate anything; in reverse
+            # order it is visited FIRST, so they must not advance the carry.
+            in_range = l_global < L_total
+            first = l_global == (L_total - 1 if reverse else 0)
+
+            xt = x_ref[0, :, i, :]  # (D, Mt)
+            w0 = w_ref[0, 0, i, :][None, :]
+            w1 = w_ref[0, 1, i, :][None, :]
+            w2 = w_ref[0, 2, i, :][None, :]
+            w3 = w_ref[0, 3, i, :][None, :]
+            w4 = w_ref[0, 4, i, :][None, :]
+            zero = jnp.zeros((1, prev.shape[1]), prev.dtype)
+            prev_dm1 = jnp.concatenate([zero, prev[:-1]], axis=0)
+            prev_dp1 = jnp.concatenate([prev[1:], zero], axis=0)
+            pmax = jnp.max(prev, axis=0, keepdims=True)
+            out = w0 * xt + w1 * prev + w2 * prev_dm1 + w3 * prev_dp1 + w4 * pmax
+            out = jnp.where(first, xt, out)
+            o_ref[0, :, i, :] = out
+            return jnp.where(in_range, out, prev)
+
+        carry_ref[:] = lax.fori_loop(0, Lb, step, carry_ref[:])
+
+    return kernel
+
+
+def _sweep_fwd_canonical(
+    x: jnp.ndarray, w: jnp.ndarray, reverse: bool
+) -> jnp.ndarray:
+    """x (N, D, L, M), w (N, 5, L, M) -> A (N, D, L, M) in array order."""
+    N, D, L, M = x.shape
+    Lb = _pick_l_block(D, L, 1 * 1024 * 1024)
+    nlb = pl.cdiv(L, Lb)
+    grid = (N, pl.cdiv(M, _LANES), nlb)
+    if reverse:
+        lmap = lambda n, m, l: (n, 0, nlb - 1 - l, m)
+    else:
+        lmap = lambda n, m, l: (n, 0, l, m)
+    return pl.pallas_call(
+        _make_fwd_kernel(L, Lb, nlb, reverse),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, D, Lb, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, Lb, _LANES), lmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, D, Lb, _LANES), lmap, memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, D, L, M), x.dtype),
+        scratch_shapes=[pltpu.VMEM((D, _LANES), jnp.float32)],
+        interpret=_interpret(),
+    )(x, w)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _make_bwd_kernel(L_total: int, Lb: int, nlb: int, reverse: bool):
+    """Gradient sweep running opposite to the forward order: for a forward
+    (reverse=False) sweep it walks L from the end backwards (and therefore
+    meets the partial tail block first — masked); for a reverse sweep it
+    walks L naturally."""
+
+    def kernel(x_ref, w_ref, aprev_ref, gbar_ref, dx_ref, dw_ref, carry_ref):
+        lb = pl.program_id(2)
+        block_index = lb if reverse else (nlb - 1 - lb)
+
+        @pl.when(lb == 0)
+        def _():
+            carry_ref[:] = jnp.zeros_like(carry_ref)
+
+        def step(j, c):
+            i = j if reverse else (Lb - 1 - j)
+            l_global = block_index * Lb + i
+            in_range = l_global < L_total
+            # sweep-order first step (s == 0): where the forward copied x.
+            is_sweep_first = l_global == (L_total - 1 if reverse else 0)
+            live = jnp.where(in_range, 1.0, 0.0)
+
+            xt = x_ref[0, :, i, :]
+            ap = aprev_ref[0, :, i, :]  # A at previous sweep position
+            gb = gbar_ref[0, :, i, :] * live
+            w0 = w_ref[0, 0, i, :][None, :] * live
+            w1 = w_ref[0, 1, i, :][None, :] * live
+            w2 = w_ref[0, 2, i, :][None, :] * live
+            w3 = w_ref[0, 3, i, :][None, :] * live
+            w4 = w_ref[0, 4, i, :][None, :] * live
+
+            g = gb + c
+
+            dx = jnp.where(is_sweep_first, g, w0 * g)
+            dx_ref[0, :, i, :] = dx
+
+            # dw contractions (zero at sweep-first: weights unused there).
+            wlive = live * jnp.where(is_sweep_first, 0.0, 1.0)
+            zero = jnp.zeros((1, g.shape[1]), g.dtype)
+            ap_dm1 = jnp.concatenate([zero, ap[:-1]], axis=0)
+            ap_dp1 = jnp.concatenate([ap[1:], zero], axis=0)
+            ap_max = jnp.max(ap, axis=0, keepdims=True)
+            gsum = jnp.sum(g, axis=0, keepdims=True)
+            dw_ref[0, 0, i, :] = jnp.sum(g * xt, axis=0) * wlive
+            dw_ref[0, 1, i, :] = jnp.sum(g * ap, axis=0) * wlive
+            dw_ref[0, 2, i, :] = jnp.sum(g * ap_dm1, axis=0) * wlive
+            dw_ref[0, 3, i, :] = jnp.sum(g * ap_dp1, axis=0) * wlive
+            dw_ref[0, 4, i, :] = gsum[0] * ap_max[0] * wlive
+
+            # carry toward the previous sweep position.
+            g_up = jnp.concatenate([g[1:], zero], axis=0)  # g(d+1)
+            g_dn = jnp.concatenate([zero, g[:-1]], axis=0)  # g(d-1)
+            eq = (ap == ap_max).astype(g.dtype)
+            eq = eq / jnp.maximum(jnp.sum(eq, axis=0, keepdims=True), 1.0)
+            c_next = w1 * g + w2 * g_up + w3 * g_dn + w4 * gsum * eq
+            c_next = jnp.where(is_sweep_first, jnp.zeros_like(c_next), c_next)
+            return jnp.where(in_range, c_next, c)
+
+        carry_ref[:] = lax.fori_loop(0, Lb, step, carry_ref[:])
+
+    return kernel
+
+
+def _sweep_bwd_canonical(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    a: jnp.ndarray,
+    gbar: jnp.ndarray,
+    reverse: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    N, D, L, M = x.shape
+    Lb = _pick_l_block(D, L, 512 * 1024)
+    nlb = pl.cdiv(L, Lb)
+    grid = (N, pl.cdiv(M, _LANES), nlb)
+    # A at the previous sweep position, block-local: shift +1 in L for a
+    # forward sweep (A[l-1]), -1 for a reverse sweep (A[l+1]).
+    if reverse:
+        aprev = jnp.pad(a[:, :, 1:, :], ((0, 0), (0, 0), (0, 1), (0, 0)))
+        lmap = lambda n, m, l: (n, 0, l, m)
+    else:
+        aprev = jnp.pad(a[:, :, :-1, :], ((0, 0), (0, 0), (1, 0), (0, 0)))
+        lmap = lambda n, m, l: (n, 0, nlb - 1 - l, m)
+
+    dx, dw = pl.pallas_call(
+        _make_bwd_kernel(L, Lb, nlb, reverse),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, D, Lb, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, Lb, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, Lb, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, Lb, _LANES), lmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, D, Lb, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, Lb, _LANES), lmap, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, D, L, M), x.dtype),
+            jax.ShapeDtypeStruct((N, 5, L, M), w.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((D, _LANES), jnp.float32)],
+        interpret=_interpret(),
+    )(x, w, aprev, gbar)
+    return dx, dw
+
+
+# ---------------------------------------------------------------------------
+# canonicalization + custom VJP + public API
+# ---------------------------------------------------------------------------
+
+
+def _to_canonical(x, w, axis):
+    """(B,D,H,W,C)/(B,H,W,C,5) -> (N,D,L,M)/(N,5,L,M); no flips (reverse
+    handling lives inside the kernels)."""
+    B, D, H, W, C = x.shape
+    if axis == "w":  # sweep along W; lanes = H
+        xk = jnp.transpose(x, (0, 4, 1, 3, 2)).reshape(B * C, D, W, H)
+        wk = jnp.transpose(w, (0, 3, 4, 2, 1)).reshape(B * C, 5, W, H)
+    else:  # sweep along H; lanes = W
+        xk = jnp.transpose(x, (0, 4, 1, 2, 3)).reshape(B * C, D, H, W)
+        wk = jnp.transpose(w, (0, 3, 4, 1, 2)).reshape(B * C, 5, H, W)
+    return xk, wk
+
+
+def _from_canonical(out, shape, axis):
+    B, D, H, W, C = shape
+    if axis == "w":
+        out = out.reshape(B, C, D, W, H)
+        return jnp.transpose(out, (0, 2, 4, 3, 1))
+    out = out.reshape(B, C, D, H, W)
+    return jnp.transpose(out, (0, 2, 3, 4, 1))
+
+
+def _w_from_canonical(dw, shape, axis):
+    B, D, H, W, C = shape
+    if axis == "w":
+        dw = dw.reshape(B, C, 5, W, H)
+        return jnp.transpose(dw, (0, 4, 3, 1, 2))
+    dw = dw.reshape(B, C, 5, H, W)
+    return jnp.transpose(dw, (0, 3, 4, 1, 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def sga_sweep(x, w, axis: str, reverse: bool):
+    """Pallas directional sweep; same contract as ops.sga.sga_sweep."""
+    xk, wk = _to_canonical(x, w, axis)
+    out = _sweep_fwd_canonical(xk, wk, reverse)
+    return _from_canonical(out, x.shape, axis)
+
+
+def _sweep_fwd_rule(x, w, axis, reverse):
+    xk, wk = _to_canonical(x, w, axis)
+    a = _sweep_fwd_canonical(xk, wk, reverse)
+    out = _from_canonical(a, x.shape, axis)
+    return out, (xk, wk, a, x.shape)
+
+
+def _sweep_bwd_rule(axis, reverse, res, gbar):
+    xk, wk, a, shape = res
+    B, D, H, W, C = shape
+    gk, _ = _to_canonical(
+        gbar, jnp.zeros((B, H, W, C, 5), gbar.dtype), axis
+    )
+    dxk, dwk = _sweep_bwd_canonical(xk, wk, a, gk, reverse)
+    dx = _from_canonical(dxk, shape, axis)
+    dw = _w_from_canonical(dwk, shape, axis)
+    return dx, dw
+
+
+sga_sweep.defvjp(_sweep_fwd_rule, _sweep_bwd_rule)
+
+
+def sga(x: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """Full SGA (max over four directional Pallas sweeps); same contract as
+    ops.sga.sga."""
+    if weights.shape[-2:] != (4, 5):
+        raise ValueError(f"weights must end in (4, 5), got {weights.shape}")
+    out_lr = sga_sweep(x, weights[..., 0, :], "w", False)
+    out_rl = sga_sweep(x, weights[..., 1, :], "w", True)
+    out_tb = sga_sweep(x, weights[..., 2, :], "h", False)
+    out_bt = sga_sweep(x, weights[..., 3, :], "h", True)
+    return jnp.maximum(
+        jnp.maximum(out_lr, out_rl), jnp.maximum(out_tb, out_bt)
+    )

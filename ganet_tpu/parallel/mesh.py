@@ -1,0 +1,62 @@
+"""Device mesh construction and sharding rules.
+
+Axes:
+  data  — batch-parallel training (the reference's DataParallel, done as
+          batch-axis sharding; gradients all-reduce over ICI via XLA SPMD)
+  space — spatial (H) sharding of images / feature maps / cost volumes for
+          memory scaling at high resolution (BASELINE.json config #5)
+  disp  — disparity-axis sharding (optional; convs only — SGA sweeps keep
+          disparity local because of the max_d' coupling, SURVEY.md §5)
+
+Multi-host: call jax.distributed.initialize() before make_mesh(); the mesh
+spans all global devices and per-host data feeding is handled by
+data.pipeline.BatchIterator's process sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ganet_tpu.config import MeshConfig
+
+AXES = ("data", "space", "disp")
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None) -> Mesh:
+    """Build a (data, space, disp) mesh.
+
+    With cfg=None, all visible devices go on the data axis."""
+    avail = jax.device_count()
+    if cfg is None:
+        shape = (avail, 1, 1)
+    else:
+        shape = (cfg.data, cfg.space, cfg.disp)
+        if cfg.num_devices > avail:
+            raise ValueError(
+                f"mesh {shape} needs {cfg.num_devices} devices, have {avail}"
+            )
+    n = int(np.prod(shape))
+    devices = mesh_utils.create_device_mesh(
+        shape, devices=np.asarray(jax.devices()[:n])
+    )
+    return Mesh(devices, AXES)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, W, ...) arrays: batch over 'data', H over 'space'."""
+    return NamedSharding(mesh, P("data", "space"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Device-put a host batch dict with batch/space sharding."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}

@@ -1,0 +1,31 @@
+"""Backend/platform selection helpers.
+
+Some environments (including this build box) pre-register a TPU PJRT
+plugin in sitecustomize and force JAX_PLATFORMS before user code runs, so
+the env var alone cannot select a backend.  `apply_platform_overrides()`
+gives CLIs an escape hatch: set GANET_PLATFORM=cpu (optionally
+GANET_FAKE_DEVICES=8) to run anywhere via the jax config API, which wins
+over the latched env var as long as the target backend hasn't been
+initialized yet."""
+
+from __future__ import annotations
+
+import os
+
+
+def apply_platform_overrides(
+    platform: str | None = None, fake_devices: int | None = None
+) -> None:
+    import jax
+
+    platform = platform or os.environ.get("GANET_PLATFORM")
+    fake = fake_devices or int(os.environ.get("GANET_FAKE_DEVICES", "0"))
+    if fake and platform in (None, "cpu"):
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={fake}"
+            ).strip()
+        platform = "cpu"
+    if platform:
+        jax.config.update("jax_platforms", platform)

@@ -1,0 +1,96 @@
+"""Profiling harness (SURVEY.md §5 "Tracing / profiling").
+
+`Timer` wraps wall-clock phases; `benchmark_fn` times a jitted function
+with proper warmup and `block_until_ready`, and `trace` wraps
+jax.profiler.trace for Perfetto dumps."""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Tuple
+
+import jax
+
+
+class Timer:
+    def __init__(self):
+        self.laps = {}
+
+    @contextlib.contextmanager
+    def lap(self, name: str):
+        t0 = time.perf_counter()
+        yield
+        self.laps[name] = self.laps.get(name, 0.0) + time.perf_counter() - t0
+
+
+def benchmark_fn(
+    fn: Callable, *args, warmup: int = 2, iters: int = 10
+) -> Tuple[float, object]:
+    """Return (seconds_per_call, last_result) with device sync."""
+    result = None
+    for _ in range(warmup):
+        result = fn(*args)
+    jax.block_until_ready(result)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        result = fn(*args)
+    jax.block_until_ready(result)
+    return (time.perf_counter() - t0) / iters, result
+
+
+def benchmark_fn_chained(
+    fn: Callable,
+    x,
+    *rest,
+    iters_low: int = 2,
+    iters_high: int = 10,
+) -> float:
+    """Seconds per call of fn(x, *rest), robust to async/remote runtimes.
+
+    Some runtimes (e.g. the axon TPU relay on this box) return from
+    block_until_ready before the device has actually executed, making naive
+    wall-clock timing meaningless.  This harness jits a fori_loop running
+    `fn` K times with a data dependency between iterations, returns a
+    scalar, and forces a host readback; the per-call time is the slope
+    between two loop lengths, which cancels RPC and readback overhead.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    def make_loop(iters):
+        @jax.jit
+        def loop(x, rest):
+            def body(_, carry):
+                out = fn(carry, *rest)
+                # Data dependency that cannot be folded away but leaves the
+                # input numerically unchanged at f32 precision.
+                return carry + 1e-30 * jnp.mean(out)
+
+            final = lax.fori_loop(0, iters, body, x)
+            return jnp.sum(final)
+
+        return loop
+
+    times = {}
+    for iters in (iters_low, iters_high):
+        loop = make_loop(iters)
+        float(np.asarray(loop(x, rest)))  # compile + warm up
+        t0 = time.perf_counter()
+        float(np.asarray(loop(x, rest)))
+        times[iters] = time.perf_counter() - t0
+    return max(
+        (times[iters_high] - times[iters_low]) / (iters_high - iters_low),
+        1e-9,
+    )
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a Perfetto/XPlane trace of the enclosed block."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

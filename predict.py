@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Inference CLI.
+
+Flag-compatible with the reference's predict.py (SURVEY.md §2 #13, §3.2):
+loads a checkpoint, pads each test image up to (crop_height, crop_width)
+(multiples of 48), runs the model, crops back to the original frame, and
+writes KITTI-submission uint16 PNGs (disparity * 256).
+
+TPU-native additions: --synthetic_data for a no-download smoke run;
+padded shapes are static so the whole forward jits once.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="GANet TPU inference")
+    p.add_argument("--crop_height", type=int, default=384)
+    p.add_argument("--crop_width", type=int, default=1248)
+    p.add_argument("--max_disp", type=int, default=192)
+    p.add_argument("--data_path", type=str, default="")
+    p.add_argument("--test_list", type=str, default="lists/kitti2015_test.list")
+    p.add_argument("--save_path", type=str, default="./result/")
+    p.add_argument("--resume", type=str, default="",
+                   help="checkpoint directory (orbax manager root)")
+    p.add_argument("--model", type=str, default="GANet_deep",
+                   choices=["GANet_deep", "GANet11", "GANet_small"])
+    p.add_argument("--kitti", type=int, default=0)
+    p.add_argument("--kitti2015", type=int, default=0)
+    p.add_argument("--synthetic_data", type=int, default=0)
+    p.add_argument("--sga_impl", type=str, default="auto",
+                   choices=["auto", "scan", "pallas"])
+    p.add_argument("--bf16", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ganet_tpu.utils.platform import apply_platform_overrides
+
+    apply_platform_overrides()
+    import jax
+    import jax.numpy as jnp
+
+    from ganet_tpu.config import DataConfig, TrainConfig, model_config
+    from ganet_tpu.data.dataset import SyntheticStereoDataset, StereoDataset
+    from ganet_tpu.data.kitti_io import write_disparity_png
+    from ganet_tpu.train.trainer import Trainer, make_predict_fn
+
+    kind = (
+        "synthetic"
+        if args.synthetic_data
+        else "kitti2015"
+        if args.kitti2015
+        else "kitti2012"
+        if args.kitti
+        else "sceneflow"
+    )
+    model = model_config(
+        args.model,
+        max_disp=args.max_disp,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        sga_impl=args.sga_impl,
+    )
+    cfg = TrainConfig(
+        model=model,
+        data=DataConfig(
+            data_path=args.data_path,
+            val_list=args.test_list,
+            crop_height=args.crop_height,
+            crop_width=args.crop_width,
+            kind=kind,
+        ),
+        batch_size=1,
+        save_path=args.resume or "./checkpoint/",
+        resume=args.resume,
+    )
+    trainer = Trainer(cfg)  # restores from --resume / save_path if present
+    predict = make_predict_fn(cfg)
+
+    os.makedirs(args.save_path, exist_ok=True)
+    if kind == "synthetic":
+        ds = SyntheticStereoDataset(
+            crop_height=args.crop_height,
+            crop_width=args.crop_width,
+            max_disp=args.max_disp,
+            length=4,
+            training=False,
+        )
+        names = [f"synthetic_{i:06d}.png" for i in range(len(ds))]
+        sizes = [(args.crop_height, args.crop_width)] * len(ds)
+    else:
+        ds = StereoDataset(
+            data_path=args.data_path,
+            list_path=args.test_list,
+            crop_height=args.crop_height,
+            crop_width=args.crop_width,
+            kind=kind,
+            training=False,
+            max_disp=args.max_disp,
+        )
+        names = [os.path.basename(e) for e in ds.entries]
+        sizes = [ds.original_size(i) for i in range(len(ds))]
+
+    for i in range(len(ds)):
+        sample = ds[i]
+        left = jnp.asarray(sample["left"])[None]
+        right = jnp.asarray(sample["right"])[None]
+        disp = np.asarray(predict(trainer.state, left, right))[0]
+        # Unpad: the test transform pads top/right, so the original frame is
+        # the bottom-left corner.
+        H, W = sizes[i]
+        disp = disp[disp.shape[0] - H :, :W]
+        out = os.path.join(args.save_path, names[i])
+        write_disparity_png(out, disp)
+        print(f"[{i + 1}/{len(ds)}] wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

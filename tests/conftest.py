@@ -23,6 +23,17 @@ if os.environ.get("GANET_TEST_TPU") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+# Persistent compilation cache: full-model gradient compiles take minutes on
+# this 2-core box; cache them across test runs.
+_cache_dir = os.environ.get(
+    "GANET_COMPILE_CACHE", os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest

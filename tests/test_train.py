@@ -1,0 +1,138 @@
+"""Training loop tests: loss/metrics, one-step integration, overfit,
+checkpoint resume (SURVEY.md §4 "End-to-end smoke")."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ganet_tpu.config import (
+    DataConfig,
+    MeshConfig,
+    OptimConfig,
+    TrainConfig,
+    ganet_small,
+)
+from ganet_tpu.train.loss import deep_supervision_loss, smooth_l1_loss
+from ganet_tpu.train.metrics import disparity_metrics
+
+
+class TestLoss:
+    def test_smooth_l1_regions(self):
+        pred = jnp.array([[[0.5, 3.0]]])  # |diff| 0.5 (quadratic), 3 (linear)
+        tgt = jnp.zeros((1, 1, 2))
+        valid = jnp.ones((1, 1, 2))
+        # 0.5*0.25 = 0.125 and 3-0.5 = 2.5 -> mean 1.3125
+        assert float(smooth_l1_loss(pred, tgt, valid)) == pytest.approx(1.3125)
+
+    def test_masking(self):
+        pred = jnp.array([[[100.0, 1.0]]])
+        tgt = jnp.zeros((1, 1, 2))
+        valid = jnp.array([[[0.0, 1.0]]])
+        assert float(smooth_l1_loss(pred, tgt, valid)) == pytest.approx(0.5)
+
+    def test_no_valid_pixels_is_zero(self):
+        pred = jnp.ones((1, 2, 2))
+        assert float(
+            smooth_l1_loss(pred, jnp.zeros_like(pred), jnp.zeros_like(pred))
+        ) == 0.0
+
+    def test_deep_supervision_weight_trim(self):
+        pred = [jnp.ones((1, 2, 2)), jnp.ones((1, 2, 2))]
+        tgt = jnp.zeros((1, 2, 2))
+        valid = jnp.ones((1, 2, 2))
+        # weights (0.2, 0.6, 1.0) trimmed to (0.6, 1.0); sL1(1)=0.5
+        got = float(deep_supervision_loss(pred, tgt, valid, (0.2, 0.6, 1.0)))
+        assert got == pytest.approx(0.5 * 1.6)
+
+
+class TestMetrics:
+    def test_epe_and_rates(self):
+        pred = jnp.array([[[1.0, 5.0, 0.0, 0.0]]])
+        tgt = jnp.array([[[0.0, 0.0, 0.0, 100.0]]])
+        valid = jnp.array([[[1.0, 1.0, 1.0, 0.0]]])
+        m = disparity_metrics(pred, tgt, valid)
+        assert float(m["epe"]) == pytest.approx(2.0)
+        assert float(m["rate_3px"]) == pytest.approx(1 / 3)
+        assert float(m["rate_1px"]) == pytest.approx(1 / 3)
+
+    def test_d1_needs_relative_error(self):
+        # err 4px but gt 100 -> 4% < 5% -> not a D1 outlier
+        pred = jnp.array([[[104.0]]])
+        tgt = jnp.array([[[100.0]]])
+        valid = jnp.ones((1, 1, 1))
+        m = disparity_metrics(pred, tgt, valid)
+        assert float(m["d1_all"]) == 0.0
+        assert float(m["rate_3px"]) == 1.0
+
+
+def _tiny_cfg(tmp_path, steps=2, epochs=1, mesh=MeshConfig()):
+    return TrainConfig(
+        model=ganet_small(max_disp=24),
+        data=DataConfig(
+            crop_height=48, crop_width=96, kind="synthetic", shuffle=True,
+            num_prefetch=0,
+        ),
+        optim=OptimConfig(lr=3e-4),
+        mesh=mesh,
+        batch_size=2,
+        num_epochs=epochs,
+        steps_per_epoch=steps,
+        save_path=str(tmp_path / "ckpt"),
+        log_every=1,
+        keep_checkpoints=2,
+    )
+
+
+class TestTrainer:
+    def test_one_epoch_runs_and_saves(self, tmp_path):
+        from ganet_tpu.train.trainer import Trainer
+
+        cfg = _tiny_cfg(tmp_path)
+        t = Trainer(cfg)
+        state = t.fit()
+        assert int(state.step) == 2
+        assert t.ckpt_mgr.latest_step() == 0
+
+    def test_resume_continues(self, tmp_path):
+        from ganet_tpu.train.trainer import Trainer
+
+        cfg = _tiny_cfg(tmp_path, epochs=1)
+        Trainer(cfg).fit()
+        # New trainer picks up the saved epoch and continues to epoch 2.
+        cfg2 = _tiny_cfg(tmp_path, epochs=2)
+        t2 = Trainer(cfg2)
+        assert t2.start_epoch == 1
+        state = t2.fit()
+        assert int(state.step) == 4  # 2 fresh steps on top of restored 2
+
+    def test_loss_decreases_overfit(self, tmp_path):
+        """Overfit a fixed synthetic batch: loss must drop substantially."""
+        from ganet_tpu.data.dataset import SyntheticStereoDataset
+        from ganet_tpu.parallel.mesh import make_mesh, shard_batch
+        from ganet_tpu.train.state import create_train_state
+        from ganet_tpu.train.trainer import make_train_step
+
+        cfg = _tiny_cfg(tmp_path)
+        mesh = make_mesh(cfg.mesh)
+        ds = SyntheticStereoDataset(crop_height=48, crop_width=96, max_disp=24)
+        s = ds[0]
+        batch = {k: np.stack([v, v]) for k, v in s.items()}
+        with mesh:
+            state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step_fn = make_train_step(cfg, mesh)
+        batch = shard_batch(mesh, batch)
+        losses = []
+        for _ in range(12):
+            state, metrics = step_fn(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.7, losses
+
+    def test_evaluate_returns_metrics(self, tmp_path):
+        from ganet_tpu.train.trainer import Trainer
+
+        cfg = _tiny_cfg(tmp_path)
+        t = Trainer(cfg)
+        m = t.evaluate(max_batches=2)
+        assert "epe" in m and np.isfinite(m["epe"])

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Flag-compatible with the reference's train.py (SURVEY.md §2 #12) — the
+reference command lines
+
+  python train.py --crop_height=240 --crop_width=528 --max_disp=192 \
+      --batchSize=16 --nEpochs=10 --data_path=... --training_list=... \
+      --save_path=./checkpoint --model GANet_deep
+  python train.py --kitti2015=1 --resume ./checkpoint ...
+
+work unchanged.  TPU-native additions: --mesh_data/--mesh_space/--mesh_disp
+select the device mesh, --synthetic_data trains on the procedural dataset
+(no downloads needed), --steps caps steps/epoch, --eval runs validation
+after every epoch.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ganet_tpu.config import (
+    DataConfig,
+    MeshConfig,
+    OptimConfig,
+    TrainConfig,
+    model_config,
+)
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="GANet TPU training")
+    # Reference flags (names preserved).
+    p.add_argument("--crop_height", type=int, default=240)
+    p.add_argument("--crop_width", type=int, default=528)
+    p.add_argument("--max_disp", type=int, default=192)
+    p.add_argument("--batchSize", type=int, default=8)
+    p.add_argument("--nEpochs", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--kitti", type=int, default=0)
+    p.add_argument("--kitti2015", type=int, default=0)
+    p.add_argument("--data_path", type=str, default="")
+    p.add_argument("--training_list", type=str, default="lists/sceneflow_train.list")
+    p.add_argument("--val_list", type=str, default="lists/sceneflow_test_select.list")
+    p.add_argument("--save_path", type=str, default="./checkpoint/")
+    p.add_argument("--resume", type=str, default="")
+    p.add_argument("--model", type=str, default="GANet_deep",
+                   choices=["GANet_deep", "GANet11", "GANet_small"])
+    p.add_argument("--left_right", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    # TPU-native additions.
+    p.add_argument("--synthetic_data", type=int, default=0,
+                   help="train on the procedural dataset (tests/smoke)")
+    p.add_argument("--steps", type=int, default=0, help="steps per epoch cap")
+    p.add_argument("--mesh_data", type=int, default=1)
+    p.add_argument("--mesh_space", type=int, default=1)
+    p.add_argument("--mesh_disp", type=int, default=1)
+    p.add_argument("--eval", type=int, default=0, help="validate after training")
+    p.add_argument("--lr_decay_epoch", type=int, default=0)
+    p.add_argument("--bf16", type=int, default=0, help="bfloat16 conv compute")
+    p.add_argument("--sga_impl", type=str, default="auto",
+                   choices=["auto", "scan", "pallas"])
+    return p.parse_args(argv)
+
+
+def build_config(args: argparse.Namespace) -> TrainConfig:
+    kind = (
+        "synthetic"
+        if args.synthetic_data
+        else "kitti2015"
+        if args.kitti2015
+        else "kitti2012"
+        if args.kitti
+        else "sceneflow"
+    )
+    model = model_config(
+        args.model,
+        max_disp=args.max_disp,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        sga_impl=args.sga_impl,
+    )
+    return TrainConfig(
+        model=model,
+        data=DataConfig(
+            data_path=args.data_path,
+            training_list=args.training_list,
+            val_list=args.val_list,
+            crop_height=args.crop_height,
+            crop_width=args.crop_width,
+            kind=kind,
+            left_right=bool(args.left_right),
+        ),
+        optim=OptimConfig(
+            lr=args.lr,
+            decay_epoch=args.lr_decay_epoch or None,
+        ),
+        mesh=MeshConfig(
+            data=args.mesh_data, space=args.mesh_space, disp=args.mesh_disp
+        ),
+        batch_size=args.batchSize,
+        num_epochs=args.nEpochs,
+        steps_per_epoch=args.steps or None,
+        save_path=args.save_path,
+        resume=args.resume,
+        seed=args.seed,
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_config(args)
+    from ganet_tpu.utils.platform import apply_platform_overrides
+
+    apply_platform_overrides()
+    from ganet_tpu.train.trainer import Trainer  # defer jax import cost
+
+    trainer = Trainer(cfg)
+    print(
+        f"model={cfg.model.name} max_disp={cfg.model.max_disp} "
+        f"crop={cfg.data.crop_height}x{cfg.data.crop_width} "
+        f"batch={cfg.batch_size} mesh={dict(trainer.mesh.shape)}"
+    )
+    trainer.fit()
+    if args.eval:
+        trainer.evaluate()
+
+
+if __name__ == "__main__":
+    main()
