@@ -53,7 +53,7 @@ def main(argv=None):
 
     from ganet_tpu.config import model_config
     from ganet_tpu.models import GANet
-    from ganet_tpu.utils.profiling import benchmark_fn
+    from ganet_tpu.utils.profiling import benchmark_fn_chained
 
     cfg = model_config(
         args.model,
@@ -77,8 +77,14 @@ def main(argv=None):
     jax.block_until_ready(fwd(variables, left, right))
     compile_s = time.time() - t0
 
-    sec_per_call, _ = benchmark_fn(
-        fwd, variables, left, right, warmup=1, iters=args.iters
+    # Chained timing: robust to async/remote runtimes where
+    # block_until_ready returns before execution (see profiling.py).
+    def run(l, v, r):
+        return model.apply(v, l, r, train=False)
+
+    sec_per_call = benchmark_fn_chained(
+        run, left, variables, right,
+        iters_low=1, iters_high=max(3, args.iters // 2),
     )
     pairs_per_s = B / sec_per_call
 

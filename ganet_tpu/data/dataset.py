@@ -86,10 +86,55 @@ class StereoDataset:
     training: bool = True
     max_disp: int = 192
     seed: int = 0
+    # Decode in the native C++ core (native/ganet_io.cpp) when available;
+    # falls back to the pure-Python readers transparently.
+    use_native: bool = True
 
     def __post_init__(self):
         self.entries = read_list(self.list_path)
         self._rng = np.random.default_rng(self.seed)
+        self._size_cache = {}
+
+    def _native_item(self, index: int, paths):
+        from ganet_tpu.data import native_io
+
+        if not native_io.native_available():
+            return None
+        size = self._size_cache.get(index)
+        if size is None:
+            from PIL import Image
+
+            with Image.open(paths.left) as im:
+                size = (im.height, im.width)
+            self._size_cache[index] = size
+        H, W = size
+        if self.training:
+            if H < self.crop_height or W < self.crop_width:
+                return None  # python path handles pad-then-crop
+            y = int(self._rng.integers(0, H - self.crop_height + 1))
+            x = int(self._rng.integers(0, W - self.crop_width + 1))
+        else:
+            if H > self.crop_height or W > self.crop_width:
+                raise ValueError(
+                    f"image {H}x{W} larger than pad target "
+                    f"{self.crop_height}x{self.crop_width}"
+                )
+            y = x = -1  # pad mode
+        sample = native_io.decode_sample(
+            paths.left,
+            paths.right,
+            paths.disparity,
+            disp_is_pfm=(self.kind == "sceneflow"),
+            crop_h=self.crop_height,
+            crop_w=self.crop_width,
+            crop_y=y,
+            crop_x=x,
+        )
+        disp = sample["disparity"]
+        sample["valid"] = (
+            (disp > 0) & (disp < self.max_disp)
+        ).astype(np.float32)
+        return sample
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -101,6 +146,13 @@ class StereoDataset:
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         paths = derive_paths(self.data_path, self.entries[index], self.kind)
+        if self.use_native:
+            try:
+                sample = self._native_item(index, paths)
+            except IOError:
+                sample = None  # corrupt/unsupported file: python fallback
+            if sample is not None:
+                return sample
         left = kitti_io.read_image(paths.left)
         right = kitti_io.read_image(paths.right)
         if self.kind == "sceneflow":

@@ -52,7 +52,11 @@ def lga(
 ) -> jnp.ndarray:
     impl = resolve_impl(impl)
     if impl == "pallas":
-        from ganet_tpu.ops import lga_pallas
-
+        try:
+            from ganet_tpu.ops import lga_pallas
+        except ImportError:
+            # Pallas LGA kernel not built yet: the scan formulation runs on
+            # TPU (bandwidth-suboptimal; kernel is the planned upgrade).
+            return _lga_scan(x, g, radius=radius, repeats=repeats)
         return lga_pallas.lga(x, g, radius=radius, repeats=repeats)
     return _lga_scan(x, g, radius=radius, repeats=repeats)

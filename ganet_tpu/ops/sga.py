@@ -41,7 +41,7 @@ DIRECTIONS = ("lr", "rl", "tb", "bt")
 
 
 def _sweep_along_leading(
-    xs: jnp.ndarray, ws: jnp.ndarray, reverse: bool
+    xs: jnp.ndarray, ws: jnp.ndarray, reverse: bool, initial=None
 ) -> jnp.ndarray:
     """Scan the recurrence along the leading axis.
 
@@ -72,6 +72,11 @@ def _sweep_along_leading(
         )
         return out, out
 
+    if initial is not None:
+        # Seeded sweep (cross-shard pipeline): every step applies the full
+        # recurrence; the seed is the aggregated carry entering step 0.
+        _, out = lax.scan(step, initial, (xs, ws), reverse=reverse)
+        return out
     if xs.shape[0] == 1:
         return xs[:1]
     if reverse:
@@ -84,7 +89,11 @@ def _sweep_along_leading(
 
 
 def sga_sweep(
-    x: jnp.ndarray, w: jnp.ndarray, axis: str, reverse: bool
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    axis: str,
+    reverse: bool,
+    initial=None,
 ) -> jnp.ndarray:
     """One directional sweep.
 
@@ -94,6 +103,11 @@ def sga_sweep(
         last axis by the caller.
       axis: "h" (vertical sweep) or "w" (horizontal sweep).
       reverse: sweep from the far edge backwards.
+      initial: optional (B, D, P, C) aggregated carry entering the first
+        sweep step (P = the perpendicular axis).  None reproduces the
+        reference boundary condition (first step copies x); a seed is used
+        by the cross-shard pipeline (parallel/sharded_sga.py), where the
+        carry arrives from the neighboring shard.
     Returns:
       aggregated volume, same shape as x.
     """
@@ -104,7 +118,7 @@ def sga_sweep(
 
     xs = jnp.moveaxis(x, spatial, 0)  # (L, B, D, P, C)
     ws = jnp.moveaxis(w, w_spatial, 0)  # (L, B, P, C, 5)
-    out = _sweep_along_leading(xs, ws, reverse)
+    out = _sweep_along_leading(xs, ws, reverse, initial)
     return jnp.moveaxis(out, 0, spatial)
 
 

@@ -6,13 +6,16 @@ each directional sweep is a sequential recurrence along one spatial axis,
 vectorized over (disparity x perpendicular-axis) on the VPU.
 
 Kernel geometry (per sweep):
-  canonical layout (N, D, L, M):
+  canonical layout (N, L, D, M):
     N = batch * channels   (grid dim, embarrassingly parallel)
+    L = sweep axis         (sequential; NOT in the tiled last-two dims, so
+                            per-step dynamic indexing loads one contiguous
+                            (D, M) tile and works for any dtype; blocked,
+                            carry persists in VMEM scratch across L-blocks
+                            — the TPU grid iterates the last grid dim
+                            innermost, so blocks of the same (n, m) line
+                            run back-to-back)
     D = disparity bins     (sublanes; shifts/max run along this axis)
-    L = sweep axis         (sequential; blocked, carry persists in VMEM
-                            scratch across L-blocks — the TPU grid iterates
-                            the last grid dim innermost, so blocks of the
-                            same (n, m) line run back-to-back)
     M = perpendicular axis (lanes, 128-wide tiles)
   Horizontal sweeps transpose H<->W outside the kernel so that the sweep
   axis is never the lane axis.  Reverse sweeps are NOT materialized as
@@ -21,6 +24,9 @@ Kernel geometry (per sweep):
   full-volume copies per direction pair, this sidesteps an XLA
   layout/fusion miscompile observed when jnp.flip composes with the
   pallas custom call at large shapes.)
+
+I/O may be bfloat16; the recurrence accumulates in float32 internally
+(hundreds of sequential multiply-adds would drift in bf16).
 
 The recurrence per sweep step s at position l (weights L1-normalized by
 the caller, first step copies the input — same semantics as ops/sga.py,
@@ -58,7 +64,7 @@ def _interpret() -> bool:
 
 
 def _pick_l_block(D: int, L: int, budget_bytes: int) -> int:
-    """Largest L-block such that one (D, Lb, 128) f32 block fits budget."""
+    """Largest L-block such that one (Lb, D, 128) f32 block fits budget."""
     per_step = D * _LANES * 4
     lb = max(8, budget_bytes // per_step)
     return int(min(L, lb))
@@ -71,8 +77,8 @@ def _pick_l_block(D: int, L: int, budget_bytes: int) -> int:
 
 def _make_fwd_kernel(L_total: int, Lb: int, nlb: int, reverse: bool):
     def kernel(x_ref, w_ref, o_ref, carry_ref):
-        """x (1, D, Lb, Mt), w (1, 5, Lb, Mt), o (1, D, Lb, Mt),
-        carry (D, Mt) VMEM scratch persisting across L-blocks."""
+        """x (1, Lb, D, Mt), w (1, Lb, 5, Mt), o (1, Lb, D, Mt),
+        carry (D, Mt) f32 VMEM scratch persisting across L-blocks."""
         lb = pl.program_id(2)
         block_index = (nlb - 1 - lb) if reverse else lb
 
@@ -89,19 +95,16 @@ def _make_fwd_kernel(L_total: int, Lb: int, nlb: int, reverse: bool):
             in_range = l_global < L_total
             first = l_global == (L_total - 1 if reverse else 0)
 
-            xt = x_ref[0, :, i, :]  # (D, Mt)
-            w0 = w_ref[0, 0, i, :][None, :]
-            w1 = w_ref[0, 1, i, :][None, :]
-            w2 = w_ref[0, 2, i, :][None, :]
-            w3 = w_ref[0, 3, i, :][None, :]
-            w4 = w_ref[0, 4, i, :][None, :]
+            xt = x_ref[0, i].astype(jnp.float32)  # (D, Mt)
+            wt = w_ref[0, i].astype(jnp.float32)  # (5, Mt)
+            w0, w1, w2, w3, w4 = (wt[k][None, :] for k in range(5))
             zero = jnp.zeros((1, prev.shape[1]), prev.dtype)
             prev_dm1 = jnp.concatenate([zero, prev[:-1]], axis=0)
             prev_dp1 = jnp.concatenate([prev[1:], zero], axis=0)
             pmax = jnp.max(prev, axis=0, keepdims=True)
             out = w0 * xt + w1 * prev + w2 * prev_dm1 + w3 * prev_dp1 + w4 * pmax
             out = jnp.where(first, xt, out)
-            o_ref[0, :, i, :] = out
+            o_ref[0, i] = out.astype(o_ref.dtype)
             return jnp.where(in_range, out, prev)
 
         carry_ref[:] = lax.fori_loop(0, Lb, step, carry_ref[:])
@@ -112,26 +115,26 @@ def _make_fwd_kernel(L_total: int, Lb: int, nlb: int, reverse: bool):
 def _sweep_fwd_canonical(
     x: jnp.ndarray, w: jnp.ndarray, reverse: bool
 ) -> jnp.ndarray:
-    """x (N, D, L, M), w (N, 5, L, M) -> A (N, D, L, M) in array order."""
-    N, D, L, M = x.shape
+    """x (N, L, D, M), w (N, L, 5, M) -> A (N, L, D, M) in array order."""
+    N, L, D, M = x.shape
     Lb = _pick_l_block(D, L, 1 * 1024 * 1024)
     nlb = pl.cdiv(L, Lb)
     grid = (N, pl.cdiv(M, _LANES), nlb)
     if reverse:
-        lmap = lambda n, m, l: (n, 0, nlb - 1 - l, m)
+        lmap = lambda n, m, l: (n, nlb - 1 - l, 0, m)
     else:
-        lmap = lambda n, m, l: (n, 0, l, m)
+        lmap = lambda n, m, l: (n, l, 0, m)
     return pl.pallas_call(
         _make_fwd_kernel(L, Lb, nlb, reverse),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, D, Lb, _LANES), lmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 5, Lb, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lb, D, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lb, 5, _LANES), lmap, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, D, Lb, _LANES), lmap, memory_space=pltpu.VMEM
+            (1, Lb, D, _LANES), lmap, memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((N, D, L, M), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, L, D, M), x.dtype),
         scratch_shapes=[pltpu.VMEM((D, _LANES), jnp.float32)],
         interpret=_interpret(),
     )(x, w)
@@ -164,19 +167,17 @@ def _make_bwd_kernel(L_total: int, Lb: int, nlb: int, reverse: bool):
             is_sweep_first = l_global == (L_total - 1 if reverse else 0)
             live = jnp.where(in_range, 1.0, 0.0)
 
-            xt = x_ref[0, :, i, :]
-            ap = aprev_ref[0, :, i, :]  # A at previous sweep position
-            gb = gbar_ref[0, :, i, :] * live
-            w0 = w_ref[0, 0, i, :][None, :] * live
-            w1 = w_ref[0, 1, i, :][None, :] * live
-            w2 = w_ref[0, 2, i, :][None, :] * live
-            w3 = w_ref[0, 3, i, :][None, :] * live
-            w4 = w_ref[0, 4, i, :][None, :] * live
+            f32 = jnp.float32
+            xt = x_ref[0, i].astype(f32)  # (D, Mt)
+            ap = aprev_ref[0, i].astype(f32)  # A at previous sweep position
+            gb = gbar_ref[0, i].astype(f32) * live
+            wt = w_ref[0, i].astype(f32) * live  # (5, Mt)
+            w0, w1, w2, w3, w4 = (wt[k][None, :] for k in range(5))
 
             g = gb + c
 
             dx = jnp.where(is_sweep_first, g, w0 * g)
-            dx_ref[0, :, i, :] = dx
+            dx_ref[0, i] = dx.astype(dx_ref.dtype)
 
             # dw contractions (zero at sweep-first: weights unused there).
             wlive = live * jnp.where(is_sweep_first, 0.0, 1.0)
@@ -185,11 +186,17 @@ def _make_bwd_kernel(L_total: int, Lb: int, nlb: int, reverse: bool):
             ap_dp1 = jnp.concatenate([ap[1:], zero], axis=0)
             ap_max = jnp.max(ap, axis=0, keepdims=True)
             gsum = jnp.sum(g, axis=0, keepdims=True)
-            dw_ref[0, 0, i, :] = jnp.sum(g * xt, axis=0) * wlive
-            dw_ref[0, 1, i, :] = jnp.sum(g * ap, axis=0) * wlive
-            dw_ref[0, 2, i, :] = jnp.sum(g * ap_dm1, axis=0) * wlive
-            dw_ref[0, 3, i, :] = jnp.sum(g * ap_dp1, axis=0) * wlive
-            dw_ref[0, 4, i, :] = gsum[0] * ap_max[0] * wlive
+            dw = jnp.concatenate(
+                [
+                    jnp.sum(g * xt, axis=0, keepdims=True),
+                    jnp.sum(g * ap, axis=0, keepdims=True),
+                    jnp.sum(g * ap_dm1, axis=0, keepdims=True),
+                    jnp.sum(g * ap_dp1, axis=0, keepdims=True),
+                    gsum * ap_max,
+                ],
+                axis=0,
+            )
+            dw_ref[0, i] = (dw * wlive).astype(dw_ref.dtype)
 
             # carry toward the previous sweep position.
             g_up = jnp.concatenate([g[1:], zero], axis=0)  # g(d+1)
@@ -212,35 +219,35 @@ def _sweep_bwd_canonical(
     gbar: jnp.ndarray,
     reverse: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    N, D, L, M = x.shape
+    N, L, D, M = x.shape
     Lb = _pick_l_block(D, L, 512 * 1024)
     nlb = pl.cdiv(L, Lb)
     grid = (N, pl.cdiv(M, _LANES), nlb)
     # A at the previous sweep position, block-local: shift +1 in L for a
     # forward sweep (A[l-1]), -1 for a reverse sweep (A[l+1]).
     if reverse:
-        aprev = jnp.pad(a[:, :, 1:, :], ((0, 0), (0, 0), (0, 1), (0, 0)))
-        lmap = lambda n, m, l: (n, 0, l, m)
+        aprev = jnp.pad(a[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+        lmap = lambda n, m, l: (n, l, 0, m)
     else:
-        aprev = jnp.pad(a[:, :, :-1, :], ((0, 0), (0, 0), (1, 0), (0, 0)))
-        lmap = lambda n, m, l: (n, 0, nlb - 1 - l, m)
+        aprev = jnp.pad(a[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+        lmap = lambda n, m, l: (n, nlb - 1 - l, 0, m)
 
     dx, dw = pl.pallas_call(
         _make_bwd_kernel(L, Lb, nlb, reverse),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, D, Lb, _LANES), lmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 5, Lb, _LANES), lmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, Lb, _LANES), lmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, Lb, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lb, D, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lb, 5, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lb, D, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lb, D, _LANES), lmap, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, D, Lb, _LANES), lmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 5, Lb, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lb, D, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lb, 5, _LANES), lmap, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((N, D, L, M), x.dtype),
-            jax.ShapeDtypeStruct((N, 5, L, M), w.dtype),
+            jax.ShapeDtypeStruct((N, L, D, M), x.dtype),
+            jax.ShapeDtypeStruct((N, L, 5, M), w.dtype),
         ),
         scratch_shapes=[pltpu.VMEM((D, _LANES), jnp.float32)],
         interpret=_interpret(),
@@ -254,34 +261,34 @@ def _sweep_bwd_canonical(
 
 
 def _to_canonical(x, w, axis):
-    """(B,D,H,W,C)/(B,H,W,C,5) -> (N,D,L,M)/(N,5,L,M); no flips (reverse
+    """(B,D,H,W,C)/(B,H,W,C,5) -> (N,L,D,M)/(N,L,5,M); no flips (reverse
     handling lives inside the kernels)."""
     B, D, H, W, C = x.shape
     if axis == "w":  # sweep along W; lanes = H
-        xk = jnp.transpose(x, (0, 4, 1, 3, 2)).reshape(B * C, D, W, H)
-        wk = jnp.transpose(w, (0, 3, 4, 2, 1)).reshape(B * C, 5, W, H)
+        xk = jnp.transpose(x, (0, 4, 3, 1, 2)).reshape(B * C, W, D, H)
+        wk = jnp.transpose(w, (0, 3, 2, 4, 1)).reshape(B * C, W, 5, H)
     else:  # sweep along H; lanes = W
-        xk = jnp.transpose(x, (0, 4, 1, 2, 3)).reshape(B * C, D, H, W)
-        wk = jnp.transpose(w, (0, 3, 4, 1, 2)).reshape(B * C, 5, H, W)
+        xk = jnp.transpose(x, (0, 4, 2, 1, 3)).reshape(B * C, H, D, W)
+        wk = jnp.transpose(w, (0, 3, 1, 4, 2)).reshape(B * C, H, 5, W)
     return xk, wk
 
 
 def _from_canonical(out, shape, axis):
     B, D, H, W, C = shape
     if axis == "w":
-        out = out.reshape(B, C, D, W, H)
-        return jnp.transpose(out, (0, 2, 4, 3, 1))
-    out = out.reshape(B, C, D, H, W)
-    return jnp.transpose(out, (0, 2, 3, 4, 1))
+        out = out.reshape(B, C, W, D, H)
+        return jnp.transpose(out, (0, 3, 4, 2, 1))
+    out = out.reshape(B, C, H, D, W)
+    return jnp.transpose(out, (0, 3, 2, 4, 1))
 
 
 def _w_from_canonical(dw, shape, axis):
     B, D, H, W, C = shape
     if axis == "w":
-        dw = dw.reshape(B, C, 5, W, H)
-        return jnp.transpose(dw, (0, 4, 3, 1, 2))
-    dw = dw.reshape(B, C, 5, H, W)
-    return jnp.transpose(dw, (0, 3, 4, 1, 2))
+        dw = dw.reshape(B, C, W, 5, H)
+        return jnp.transpose(dw, (0, 4, 2, 1, 3))
+    dw = dw.reshape(B, C, H, 5, W)
+    return jnp.transpose(dw, (0, 2, 4, 1, 3))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -1,0 +1,85 @@
+"""Pallas LGA kernel vs the scan oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ganet_tpu.ops import l1_normalize
+from ganet_tpu.ops.lga import lga as lga_scan
+from ganet_tpu.ops import lga_pallas
+
+
+def _rand(rng, shape):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+
+def _weights(rng, B, H, W, K):
+    g = _rand(rng, (B, H, W, 3 * K * K))
+    return l1_normalize(g, axis=-1)
+
+
+class TestLGAPallasForward:
+    @pytest.mark.parametrize(
+        "shape",
+        [
+            (1, 4, 8, 16),
+            (2, 3, 7, 9),     # non-multiples of tiles
+            (1, 6, 33, 40),   # crosses the 32-row tile
+        ],
+    )
+    def test_matches_scan(self, rng, shape):
+        B, D, H, W = shape
+        x = _rand(rng, shape)
+        g = _weights(rng, B, H, W, 5)
+        got = np.asarray(lga_pallas.lga(x, g, radius=2))
+        want = np.asarray(lga_scan(x, g, radius=2))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_radius1(self, rng):
+        B, D, H, W = 1, 3, 6, 10
+        x = _rand(rng, (B, D, H, W))
+        g = _weights(rng, B, H, W, 3)
+        got = np.asarray(lga_pallas.lga(x, g, radius=1))
+        want = np.asarray(lga_scan(x, g, radius=1))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_repeats(self, rng):
+        B, D, H, W = 1, 3, 8, 8
+        x = _rand(rng, (B, D, H, W))
+        g = _weights(rng, B, H, W, 5)
+        got = np.asarray(lga_pallas.lga(x, g, repeats=2))
+        want = np.asarray(lga_scan(x, g, repeats=2))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestLGAPallasBackward:
+    def test_vjp_matches_scan(self, rng):
+        B, D, H, W = 1, 4, 9, 11
+        x = _rand(rng, (B, D, H, W))
+        g = _weights(rng, B, H, W, 5)
+        ct = _rand(rng, (B, D, H, W))
+        _, vjp_p = jax.vjp(lambda a, b: lga_pallas.lga(a, b), x, g)
+        _, vjp_s = jax.vjp(lambda a, b: lga_scan(a, b), x, g)
+        for gp, gs in zip(vjp_p(ct), vjp_s(ct)):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gs), rtol=1e-4, atol=1e-4
+            )
+
+    def test_vjp_repeats2(self, rng):
+        B, D, H, W = 1, 3, 8, 8
+        x = _rand(rng, (B, D, H, W))
+        g = _weights(rng, B, H, W, 5)
+
+        gp = jax.grad(
+            lambda a, b: jnp.sum(lga_pallas.lga(a, b, repeats=2) ** 2),
+            argnums=(0, 1),
+        )(x, g)
+        gs = jax.grad(
+            lambda a, b: jnp.sum(lga_scan(a, b, repeats=2) ** 2),
+            argnums=(0, 1),
+        )(x, g)
+        for a, b in zip(gp, gs):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
