@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Evaluation CLI.
+
+Reference: the val()/eval logic in the reference's train.py and the
+standalone evaluation flow (SURVEY.md §2 #14): computes EPE, >1/2/3-px
+error rates, and KITTI D1-all, either
+
+  * from saved disparity PNGs against ground truth
+      python evaluation.py --pred_path ./result/ --gt_path ... \
+          --test_list lists/kitti2015_val.list --kitti2015 1
+  * or end-to-end from a checkpoint over a list (runs the model):
+      python evaluation.py --resume ./checkpoint --data_path ... \
+          --test_list ... --crop_height 384 --crop_width 1248
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="GANet TPU evaluation")
+    p.add_argument("--pred_path", type=str, default="",
+                   help="directory of predicted disparity PNGs; empty = run model")
+    p.add_argument("--gt_path", type=str, default="")
+    p.add_argument("--data_path", type=str, default="")
+    p.add_argument("--test_list", type=str, required=True)
+    p.add_argument("--kitti", type=int, default=0)
+    p.add_argument("--kitti2015", type=int, default=0)
+    p.add_argument("--synthetic_data", type=int, default=0)
+    p.add_argument("--max_disp", type=int, default=192)
+    p.add_argument("--crop_height", type=int, default=384)
+    p.add_argument("--crop_width", type=int, default=1248)
+    p.add_argument("--resume", type=str, default="")
+    p.add_argument("--model", type=str, default="GANet_deep")
+    p.add_argument("--max_samples", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def _metrics_np(pred, gt, max_disp):
+    valid = (gt > 0) & (gt < max_disp)
+    n = max(valid.sum(), 1)
+    err = np.abs(pred - gt)
+    d1 = (err > 3.0) & (err > 0.05 * np.abs(gt))
+    return {
+        "epe": float((err * valid).sum() / n),
+        "rate_1px": float(((err > 1.0) & valid).sum() / n),
+        "rate_2px": float(((err > 2.0) & valid).sum() / n),
+        "rate_3px": float(((err > 3.0) & valid).sum() / n),
+        "d1_all": float((d1 & valid).sum() / n),
+    }
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    kind = (
+        "synthetic" if args.synthetic_data
+        else "kitti2015" if args.kitti2015
+        else "kitti2012" if args.kitti
+        else "sceneflow"
+    )
+
+    totals: dict = {}
+    count = 0
+
+    def accumulate(m):
+        nonlocal count
+        for k, v in m.items():
+            totals[k] = totals.get(k, 0.0) + v
+        count += 1
+
+    if args.pred_path:
+        # Offline: compare saved PNGs against ground truth.
+        from ganet_tpu.data.kitti_io import read_disparity_png
+        from ganet_tpu.data.lists import derive_paths, read_list
+        from ganet_tpu.data.pfm import read_pfm
+
+        entries = read_list(args.test_list)
+        if args.max_samples:
+            entries = entries[: args.max_samples]
+        for e in entries:
+            paths = derive_paths(args.gt_path or args.data_path, e, kind)
+            name = os.path.basename(e)
+            pred = read_disparity_png(os.path.join(args.pred_path, name))
+            if kind == "sceneflow":
+                gt = read_pfm(paths.disparity)
+                gt = np.abs(gt[..., 0] if gt.ndim == 3 else gt)
+            else:
+                gt = read_disparity_png(paths.disparity)
+            accumulate(_metrics_np(pred, gt, args.max_disp))
+    else:
+        # Online: run the model over the list.
+        from ganet_tpu.utils.platform import apply_platform_overrides
+
+        apply_platform_overrides()
+        import jax.numpy as jnp
+
+        from ganet_tpu.config import DataConfig, TrainConfig, model_config
+        from ganet_tpu.data.dataset import get_test_set
+        from ganet_tpu.train.trainer import Trainer, make_predict_fn
+
+        cfg = TrainConfig(
+            model=model_config(args.model, max_disp=args.max_disp),
+            data=DataConfig(
+                data_path=args.data_path,
+                val_list=args.test_list,
+                crop_height=args.crop_height,
+                crop_width=args.crop_width,
+                kind=kind,
+            ),
+            batch_size=1,
+            save_path=args.resume or "./checkpoint/",
+            resume=args.resume,
+        )
+        trainer = Trainer(cfg)
+        predict = make_predict_fn(cfg)
+        ds = get_test_set(cfg.data, args.max_disp)
+        n = len(ds) if not args.max_samples else min(len(ds), args.max_samples)
+        for i in range(n):
+            s = ds[i]
+            pred = np.asarray(
+                predict(
+                    trainer.state,
+                    jnp.asarray(s["left"])[None],
+                    jnp.asarray(s["right"])[None],
+                )
+            )[0]
+            accumulate(_metrics_np(pred, s["disparity"], args.max_disp))
+
+    result = {k: v / max(count, 1) for k, v in totals.items()}
+    print(
+        f"samples={count} "
+        + " ".join(f"{k}={v:.4f}" for k, v in sorted(result.items()))
+    )
+    return result
+
+
+if __name__ == "__main__":
+    main()

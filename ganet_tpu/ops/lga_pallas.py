@@ -7,17 +7,20 @@ semantics (that scan formulation is the tested oracle for this kernel).
 Why a kernel: LGA is a spatially-varying 3x(KxK) stencil over a
 (B, D, H, W) volume.  The pure-XLA scan formulation re-reads the whole
 padded volume once per window offset (75x volume traffic at full
-resolution); this kernel reads each input element ~3x (the three
-disparity-shifted windows) and the guidance once.
+resolution); this kernel reads each input element a handful of times (the
+three disparity-shifted, halo-overlapping windows) and the guidance once.
 
 Kernel geometry:
   grid (B, H-tiles, W-tiles, D) with D innermost:
     * the guidance block (1, 75, Ht, Wt) has a d-independent index map, so
       Pallas keeps it resident across the whole D loop (one fetch per
       spatial tile);
-    * the x window (3, Ht+2r, Wt+2r) — disparity slices d-1, d, d+1 with
-      spatial halo — is DMA'd manually from the padded volume in ANY
-      memory space (BlockSpecs cannot express halos);
+    * the x window — disparity slices d-1, d, d+1 with spatial halo — is
+      DMA'd manually from the padded volume (BlockSpecs cannot express
+      halos).  TPU DMA slices must be tile-aligned in the last two dims,
+      so windows over-fetch to (Ht + 2*HALO_H, Wt + 2*HALO_W) with
+      HALO_H = 8 (sublane tile) and HALO_W = 128 (lane tile), and the
+      stencil reads at static sub-tile offsets inside VMEM;
     * the output block (1, 1, Ht, Wt) is written per (d, tile).
   The 3*K*K multiply-accumulates are fully unrolled static slices of the
   VMEM window — pure VPU code.
@@ -42,23 +45,59 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_HALO_H = 8    # sublane tile
+_HALO_W = 128  # lane tile
+
 
 def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _pick_tiles(H: int, W: int) -> Tuple[int, int]:
-    Ht = min(H, 32)
-    Wt = min(W, 256)
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_tiles(H: int, W: int, max_wt: int) -> Tuple[int, int]:
+    Ht = 32
+    Wt = min(_round_up(W, _HALO_W), max_wt)
     return Ht, Wt
 
 
-def _pad_to_multiple(x, mults, axes):
-    pads = [(0, 0)] * x.ndim
-    for ax, m in zip(axes, mults):
-        rem = (-x.shape[ax]) % m
-        pads[ax] = (0, rem)
-    return jnp.pad(x, pads) if any(p != (0, 0) for p in pads) else x
+def _pad_vol(x, Hp, Wp):
+    """(B, D, H, W) -> (B, D+2, Hp+2*HALO_H, Wp+2*HALO_W); zero-padded with
+    the image origin at (HALO_H, HALO_W)."""
+    B, D, H, W = x.shape
+    return jnp.pad(
+        x,
+        (
+            (0, 0),
+            (1, 1),
+            (_HALO_H, _HALO_H + (Hp - H)),
+            (_HALO_W, _HALO_W + (Wp - W)),
+        ),
+    )
+
+
+def _pad_plane(g, Hp, Wp):
+    """(B, C, H, W) -> (B, C, Hp+2*HALO_H, Wp+2*HALO_W)."""
+    B, C, H, W = g.shape
+    return jnp.pad(
+        g,
+        (
+            (0, 0),
+            (0, 0),
+            (_HALO_H, _HALO_H + (Hp - H)),
+            (_HALO_W, _HALO_W + (Wp - W)),
+        ),
+    )
+
+
+def _pad_tiles(a, Ht, Wt):
+    """Pad trailing spatial dims up to tile multiples (for VMEM blocks)."""
+    pads = [(0, 0)] * a.ndim
+    pads[-2] = (0, (-a.shape[-2]) % Ht)
+    pads[-1] = (0, (-a.shape[-1]) % Wt)
+    return jnp.pad(a, pads)
 
 
 # ---------------------------------------------------------------------------
@@ -68,6 +107,8 @@ def _pad_to_multiple(x, mults, axes):
 
 def _make_fwd_kernel(K: int, Ht: int, Wt: int):
     r = (K - 1) // 2
+    wh = Ht + 2 * _HALO_H
+    ww = Wt + 2 * _HALO_W
 
     def kernel(xp_ref, g_ref, o_ref, xwin, sem):
         b = pl.program_id(0)
@@ -75,12 +116,7 @@ def _make_fwd_kernel(K: int, Ht: int, Wt: int):
         w = pl.program_id(2)
         d = pl.program_id(3)
         dma = pltpu.make_async_copy(
-            xp_ref.at[
-                b,
-                pl.ds(d, 3),
-                pl.ds(h * Ht, Ht + 2 * r),
-                pl.ds(w * Wt, Wt + 2 * r),
-            ],
+            xp_ref.at[b, pl.ds(d, 3), pl.ds(h * Ht, wh), pl.ds(w * Wt, ww)],
             xwin,
             sem,
         )
@@ -92,9 +128,11 @@ def _make_fwd_kernel(K: int, Ht: int, Wt: int):
         for k, xslice in ((0, 1), (1, 0), (2, 2)):
             xs = xwin[xslice].astype(jnp.float32)
             for iy in range(K):
+                oy = _HALO_H + iy - r
                 for ix in range(K):
+                    ox = _HALO_W + ix - r
                     gch = g_ref[0, k * K * K + iy * K + ix].astype(jnp.float32)
-                    acc = acc + gch * xs[iy : iy + Ht, ix : ix + Wt]
+                    acc = acc + gch * xs[oy : oy + Ht, ox : ox + Wt]
         o_ref[0, 0] = acc.astype(o_ref.dtype)
 
     return kernel
@@ -104,27 +142,18 @@ def _lga_once(x: jnp.ndarray, g75: jnp.ndarray, radius: int) -> jnp.ndarray:
     """x (B, D, H, W), g75 (B, 75, H, W) pre-normalized -> (B, D, H, W)."""
     B, D, H, W = x.shape
     K = 2 * radius + 1
-    Ht, Wt = _pick_tiles(H, W)
-    Hp = H + (-H) % Ht
-    Wp = W + (-W) % Wt
-    # Pad: disparity by 1 both sides, spatial by r plus tile round-up.
-    xp = jnp.pad(
-        x,
-        (
-            (0, 0),
-            (1, 1),
-            (radius, radius + (Hp - H)),
-            (radius, radius + (Wp - W)),
-        ),
-    )
-    gp = _pad_to_multiple(g75, (Ht, Wt), (2, 3))
+    Ht, Wt = _pick_tiles(H, W, max_wt=512)
+    Hp = _round_up(H, Ht)
+    Wp = _round_up(W, Wt)
+    xp = _pad_vol(x, Hp, Wp)
+    gp = _pad_tiles(g75, Ht, Wt)
 
     grid = (B, Hp // Ht, Wp // Wt, D)
     out = pl.pallas_call(
         _make_fwd_kernel(K, Ht, Wt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # xp: manual DMA
+            pl.BlockSpec(memory_space=pltpu.HBM),  # xp: manual halo DMA
             pl.BlockSpec(
                 (1, 3 * K * K, Ht, Wt),
                 lambda b, h, w, d: (b, 0, h, w),
@@ -138,7 +167,7 @@ def _lga_once(x: jnp.ndarray, g75: jnp.ndarray, radius: int) -> jnp.ndarray:
         ),
         out_shape=jax.ShapeDtypeStruct((B, D, Hp, Wp), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, Ht + 2 * radius, Wt + 2 * radius), x.dtype),
+            pltpu.VMEM((3, Ht + 2 * _HALO_H, Wt + 2 * _HALO_W), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret(),
@@ -151,16 +180,18 @@ def _lga_once(x: jnp.ndarray, g75: jnp.ndarray, radius: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _make_bwd_kernel(K: int, Ht: int, Wt: int, nd: int):
+def _make_bwd_kernel(K: int, Ht: int, Wt: int):
     r = (K - 1) // 2
+    wh = Ht + 2 * _HALO_H
+    ww = Wt + 2 * _HALO_W
 
     def kernel(
         xp_ref, gbp_ref, gwp_ref, gb_ref, dx_ref, dg_ref, xwin, bwin, gwin, sems
     ):
         """Inputs:
-          xp_ref  (B, D+2, Hp+2r, Wp+2r) padded x          [ANY, DMA]
-          gbp_ref (B, D+2, Hp+2r, Wp+2r) padded gbar       [ANY, DMA]
-          gwp_ref (B, 75, Hp+2r, Wp+2r) padded guidance    [ANY, DMA]
+          xp_ref  (B, D+2, Hh, Ww) padded x                [HBM, DMA]
+          gbp_ref (B, D+2, Hh, Ww) padded gbar             [HBM, DMA]
+          gwp_ref (B, 75, Hh, Ww) padded guidance          [HBM, DMA]
           gb_ref  (1, 1, Ht, Wt) gbar tile                 [VMEM]
         Outputs:
           dx_ref  (1, 1, Ht, Wt)
@@ -172,16 +203,12 @@ def _make_bwd_kernel(K: int, Ht: int, Wt: int, nd: int):
         d = pl.program_id(3)
 
         cp1 = pltpu.make_async_copy(
-            xp_ref.at[
-                b, pl.ds(d, 3), pl.ds(h * Ht, Ht + 2 * r), pl.ds(w * Wt, Wt + 2 * r)
-            ],
+            xp_ref.at[b, pl.ds(d, 3), pl.ds(h * Ht, wh), pl.ds(w * Wt, ww)],
             xwin,
             sems.at[0],
         )
         cp2 = pltpu.make_async_copy(
-            gbp_ref.at[
-                b, pl.ds(d, 3), pl.ds(h * Ht, Ht + 2 * r), pl.ds(w * Wt, Wt + 2 * r)
-            ],
+            gbp_ref.at[b, pl.ds(d, 3), pl.ds(h * Ht, wh), pl.ds(w * Wt, ww)],
             bwin,
             sems.at[1],
         )
@@ -193,9 +220,7 @@ def _make_bwd_kernel(K: int, Ht: int, Wt: int, nd: int):
         @pl.when(d == 0)
         def _():
             cp3 = pltpu.make_async_copy(
-                gwp_ref.at[
-                    b, :, pl.ds(h * Ht, Ht + 2 * r), pl.ds(w * Wt, Wt + 2 * r)
-                ],
+                gwp_ref.at[b, :, pl.ds(h * Ht, wh), pl.ds(w * Wt, ww)],
                 gwin,
                 sems.at[2],
             )
@@ -214,10 +239,9 @@ def _make_bwd_kernel(K: int, Ht: int, Wt: int, nd: int):
         for k, bslice in ((0, 1), (1, 2), (2, 0)):
             bw = bwin[bslice].astype(f32)
             for iy in range(K):
+                jy = _HALO_H + r - iy  # p-off window start
                 for ix in range(K):
-                    # p-off with off=(iy-r, ix-r): window start (r-(iy-r))
-                    jy = 2 * r - iy
-                    jx = 2 * r - ix
+                    jx = _HALO_W + r - ix
                     gch = gwin[k * K * K + iy * K + ix].astype(f32)
                     acc_dx = acc_dx + (
                         gch[jy : jy + Ht, jx : jx + Wt]
@@ -235,9 +259,11 @@ def _make_bwd_kernel(K: int, Ht: int, Wt: int, nd: int):
         for k, xslice in ((0, 1), (1, 0), (2, 2)):
             xs = xwin[xslice].astype(f32)
             for iy in range(K):
+                oy = _HALO_H + iy - r
                 for ix in range(K):
+                    ox = _HALO_W + ix - r
                     ch = k * K * K + iy * K + ix
-                    contrib = gb * xs[iy : iy + Ht, ix : ix + Wt]
+                    contrib = gb * xs[oy : oy + Ht, ox : ox + Wt]
                     dg_ref[0, ch] = (
                         dg_ref[0, ch].astype(f32) + contrib
                     ).astype(dg_ref.dtype)
@@ -250,39 +276,23 @@ def _lga_bwd_once(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, D, H, W = x.shape
     K = 2 * radius + 1
-    Ht, Wt = _pick_tiles(H, W)
-    Hp = H + (-H) % Ht
-    Wp = W + (-W) % Wt
-    spad = lambda a: jnp.pad(
-        a,
-        (
-            (0, 0),
-            (1, 1),
-            (radius, radius + (Hp - H)),
-            (radius, radius + (Wp - W)),
-        ),
-    )
-    xp = spad(x)
-    gbp = spad(gbar)
-    gwp = jnp.pad(
-        g75,
-        (
-            (0, 0),
-            (0, 0),
-            (radius, radius + (Hp - H)),
-            (radius, radius + (Wp - W)),
-        ),
-    )
-    gb_tiles = _pad_to_multiple(gbar, (Ht, Wt), (2, 3))
+    # Smaller W tile: the 75-channel guidance window must fit in VMEM.
+    Ht, Wt = _pick_tiles(H, W, max_wt=128)
+    Hp = _round_up(H, Ht)
+    Wp = _round_up(W, Wt)
+    xp = _pad_vol(x, Hp, Wp)
+    gbp = _pad_vol(gbar, Hp, Wp)
+    gwp = _pad_plane(g75, Hp, Wp)
+    gb_tiles = _pad_tiles(gbar, Ht, Wt)
 
     grid = (B, Hp // Ht, Wp // Wt, D)
     dx, dg = pl.pallas_call(
-        _make_bwd_kernel(K, Ht, Wt, D),
+        _make_bwd_kernel(K, Ht, Wt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
                 (1, 1, Ht, Wt),
                 lambda b, h, w, d: (b, d, h, w),
@@ -306,9 +316,11 @@ def _lga_bwd_once(
             jax.ShapeDtypeStruct((B, 3 * K * K, Hp, Wp), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, Ht + 2 * radius, Wt + 2 * radius), x.dtype),
-            pltpu.VMEM((3, Ht + 2 * radius, Wt + 2 * radius), gbar.dtype),
-            pltpu.VMEM((3 * K * K, Ht + 2 * radius, Wt + 2 * radius), g75.dtype),
+            pltpu.VMEM((3, Ht + 2 * _HALO_H, Wt + 2 * _HALO_W), x.dtype),
+            pltpu.VMEM((3, Ht + 2 * _HALO_H, Wt + 2 * _HALO_W), gbar.dtype),
+            pltpu.VMEM(
+                (3 * K * K, Ht + 2 * _HALO_H, Wt + 2 * _HALO_W), g75.dtype
+            ),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=_interpret(),

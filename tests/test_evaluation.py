@@ -1,0 +1,69 @@
+"""evaluation.py offline-mode tests."""
+
+import os
+
+import numpy as np
+
+import evaluation
+from ganet_tpu.data.kitti_io import write_disparity_png
+
+
+def _setup(tmp_path, rng, n=2, H=40, W=60):
+    from PIL import Image
+
+    gt_root = tmp_path / "kitti"
+    pred_dir = tmp_path / "pred"
+    os.makedirs(gt_root / "disp_occ_0")
+    os.makedirs(gt_root / "image_2")
+    os.makedirs(gt_root / "image_3")
+    os.makedirs(pred_dir)
+    names = []
+    for i in range(n):
+        name = f"{i:06d}_10.png"
+        names.append(name)
+        gt = (rng.random((H, W)) * 80).astype(np.float32)
+        gt[0, :] = 0  # invalid band
+        write_disparity_png(str(gt_root / "disp_occ_0" / name), gt)
+        # prediction: gt + 0.5px everywhere -> epe ~0.5, no 3px outliers
+        write_disparity_png(str(pred_dir / name), gt + 0.5)
+        for sub in ("image_2", "image_3"):
+            Image.fromarray(np.zeros((H, W, 3), np.uint8)).save(
+                str(gt_root / sub / name)
+            )
+    lst = tmp_path / "eval.list"
+    lst.write_text("\n".join(names))
+    return str(gt_root), str(pred_dir), str(lst)
+
+
+class TestOfflineEval:
+    def test_epe_and_outliers(self, tmp_path, rng):
+        gt_root, pred_dir, lst = _setup(tmp_path, rng)
+        result = evaluation.main(
+            [
+                "--pred_path", pred_dir,
+                "--gt_path", gt_root,
+                "--test_list", lst,
+                "--kitti2015", "1",
+            ]
+        )
+        assert abs(result["epe"] - 0.5) < 0.02
+        assert result["rate_3px"] == 0.0
+        assert result["d1_all"] == 0.0
+
+    def test_bad_prediction_flagged(self, tmp_path, rng):
+        gt_root, pred_dir, lst = _setup(tmp_path, rng)
+        # overwrite one prediction with zeros -> large errors there
+        names = open(lst).read().split()
+        write_disparity_png(
+            os.path.join(pred_dir, names[0]), np.zeros((40, 60), np.float32)
+        )
+        result = evaluation.main(
+            [
+                "--pred_path", pred_dir,
+                "--gt_path", gt_root,
+                "--test_list", lst,
+                "--kitti2015", "1",
+            ]
+        )
+        assert result["epe"] > 5.0
+        assert result["d1_all"] > 0.3
