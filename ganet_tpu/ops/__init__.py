@@ -18,7 +18,7 @@ from ganet_tpu.ops.disparity import (
 )
 from ganet_tpu.ops.normalize import l1_normalize
 from ganet_tpu.ops.sga import sga, sga_sweep
-from ganet_tpu.ops.lga import lga
+from ganet_tpu.ops.lga import lga, lga3d
 
 __all__ = [
     "build_cost_volume",
@@ -29,4 +29,5 @@ __all__ = [
     "sga",
     "sga_sweep",
     "lga",
+    "lga3d",
 ]

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ganet_tpu.ops.lga import lga as _lga_scan
+from ganet_tpu.ops.lga import lga3d as _lga3d_scan
 from ganet_tpu.ops.sga import sga as _sga_scan
 
 
@@ -60,3 +61,25 @@ def lga(
             return _lga_scan(x, g, radius=radius, repeats=repeats)
         return lga_pallas.lga(x, g, radius=radius, repeats=repeats)
     return _lga_scan(x, g, radius=radius, repeats=repeats)
+
+
+def lga3d(
+    x: jnp.ndarray,
+    g: jnp.ndarray,
+    radius: int = 2,
+    repeats: int = 1,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Channel-wise LGA on a (B, D, H, W, C) volume (reference
+    `Lga3dFunction`); the Pallas path folds channels into the kernel's
+    batch grid dimension."""
+    impl = resolve_impl(impl)
+    if impl == "pallas":
+        from ganet_tpu.ops import lga_pallas
+
+        B, D, H, W, C = x.shape
+        xf = jnp.transpose(x, (0, 4, 1, 2, 3)).reshape(B * C, D, H, W)
+        gf = jnp.repeat(g, C, axis=0)
+        out = lga_pallas.lga(xf, gf, radius=radius, repeats=repeats)
+        return jnp.transpose(out.reshape(B, C, D, H, W), (0, 2, 3, 4, 1))
+    return _lga3d_scan(x, g, radius=radius, repeats=repeats)

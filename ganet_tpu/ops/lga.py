@@ -71,3 +71,27 @@ def lga(
             step, jnp.zeros_like(x), (jnp.arange(K * K), gs)
         )
     return x
+
+
+def lga3d(
+    x: jnp.ndarray, g: jnp.ndarray, radius: int = 2, repeats: int = 1
+) -> jnp.ndarray:
+    """LGA over a multi-channel cost volume (reference `Lga3dFunction` /
+    `lga3d_cuda_forward/backward` in libGANet, SURVEY.md §2 #1-#5): the same
+    per-pixel 3x(KxK) guided filter applied independently to every channel,
+    with the guidance shared across channels.
+
+    Args:
+      x: (B, D, H, W, C) volume (channels-last, this codebase's layout for
+        multi-channel cost volumes).
+      g: (B, H, W, 3*K*K) guidance, normalized by the caller.
+    Returns:
+      (B, D, H, W, C) filtered volume.
+    """
+    B, D, H, W, C = x.shape
+    # Fold channels into batch: (B, C, D, H, W) -> (B*C, D, H, W); the
+    # guidance repeats per channel in matching order.
+    xf = jnp.transpose(x, (0, 4, 1, 2, 3)).reshape(B * C, D, H, W)
+    gf = jnp.repeat(g, C, axis=0)
+    out = lga(xf, gf, radius=radius, repeats=repeats)
+    return jnp.transpose(out.reshape(B, C, D, H, W), (0, 2, 3, 4, 1))

@@ -10,6 +10,7 @@ from ganet_tpu.ops import (
     disparity_regression,
     l1_normalize,
     lga,
+    lga3d,
     sga,
     sga_sweep,
     soft_argmin,
@@ -115,6 +116,39 @@ class TestLGA:
         gx, gg = jax.grad(lambda a, b: jnp.sum(lga(a, b) ** 2), argnums=(0, 1))(x, g)
         assert np.isfinite(np.asarray(gx)).all()
         assert np.isfinite(np.asarray(gg)).all()
+
+
+class TestLGA3D:
+    def test_matches_per_channel_lga(self, rng):
+        # lga3d == lga applied to each channel with the shared guidance
+        # (reference Lga3dFunction semantics).
+        x = rng.standard_normal((2, 3, 4, 5, 3)).astype(np.float32)
+        g = _rand_weights(rng, (2, 4, 5, 75))
+        got = np.asarray(lga3d(jnp.asarray(x), jnp.asarray(g), radius=2))
+        for c in range(x.shape[-1]):
+            want = np.asarray(lga(jnp.asarray(x[..., c]), jnp.asarray(g), radius=2))
+            np.testing.assert_allclose(got[..., c], want, rtol=1e-5, atol=1e-6)
+
+    def test_grads_flow(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 3, 4, 4, 2)).astype(np.float32))
+        g = jnp.asarray(_rand_weights(rng, (1, 4, 4, 75)))
+        gx, gg = jax.grad(
+            lambda a, b: jnp.sum(lga3d(a, b) ** 2), argnums=(0, 1)
+        )(x, g)
+        assert np.isfinite(np.asarray(gx)).all()
+        assert np.isfinite(np.asarray(gg)).all()
+        assert float(jnp.abs(gg).sum()) > 0
+
+    def test_dispatch_pallas_interpret_matches_scan(self, rng):
+        from ganet_tpu.ops import dispatch
+
+        x = rng.standard_normal((1, 3, 6, 7, 2)).astype(np.float32)
+        g = _rand_weights(rng, (1, 6, 7, 75))
+        want = np.asarray(lga3d(jnp.asarray(x), jnp.asarray(g)))
+        got = np.asarray(
+            dispatch.lga3d(jnp.asarray(x), jnp.asarray(g), impl="pallas")
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 class TestDisparity:
