@@ -45,9 +45,10 @@ def main(argv=None):
             "GANet_small", 96, 192, 24,
         )
 
-    from ganet_tpu.utils.platform import apply_platform_overrides
+    from ganet_tpu.utils.platform import apply_platform_overrides, enable_compile_cache
 
     apply_platform_overrides()
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

@@ -260,17 +260,26 @@ def _sweep_bwd_canonical(
 # ---------------------------------------------------------------------------
 
 
-def _to_canonical(x, w, axis):
-    """(B,D,H,W,C)/(B,H,W,C,5) -> (N,L,D,M)/(N,L,5,M); no flips (reverse
-    handling lives inside the kernels)."""
+def _x_to_canonical(x, axis):
+    """(B,D,H,W,C) -> (N,L,D,M); no flips (reverse handling lives inside
+    the kernels)."""
     B, D, H, W, C = x.shape
     if axis == "w":  # sweep along W; lanes = H
-        xk = jnp.transpose(x, (0, 4, 3, 1, 2)).reshape(B * C, W, D, H)
-        wk = jnp.transpose(w, (0, 3, 2, 4, 1)).reshape(B * C, W, 5, H)
-    else:  # sweep along H; lanes = W
-        xk = jnp.transpose(x, (0, 4, 2, 1, 3)).reshape(B * C, H, D, W)
-        wk = jnp.transpose(w, (0, 3, 1, 4, 2)).reshape(B * C, H, 5, W)
-    return xk, wk
+        return jnp.transpose(x, (0, 4, 3, 1, 2)).reshape(B * C, W, D, H)
+    # sweep along H; lanes = W
+    return jnp.transpose(x, (0, 4, 2, 1, 3)).reshape(B * C, H, D, W)
+
+
+def _w_to_canonical(w, axis):
+    """(B,H,W,C,5) -> (N,L,5,M)."""
+    B, H, W, C, _ = w.shape
+    if axis == "w":
+        return jnp.transpose(w, (0, 3, 2, 4, 1)).reshape(B * C, W, 5, H)
+    return jnp.transpose(w, (0, 3, 1, 4, 2)).reshape(B * C, H, 5, W)
+
+
+def _to_canonical(x, w, axis):
+    return _x_to_canonical(x, axis), _w_to_canonical(w, axis)
 
 
 def _from_canonical(out, shape, axis):
@@ -282,54 +291,55 @@ def _from_canonical(out, shape, axis):
     return jnp.transpose(out, (0, 3, 2, 4, 1))
 
 
-def _w_from_canonical(dw, shape, axis):
-    B, D, H, W, C = shape
-    if axis == "w":
-        dw = dw.reshape(B, C, W, 5, H)
-        return jnp.transpose(dw, (0, 4, 2, 1, 3))
-    dw = dw.reshape(B, C, H, 5, W)
-    return jnp.transpose(dw, (0, 2, 4, 1, 3))
+# The custom-VJP boundary sits at the canonical layout so the expensive
+# (N,L,D,M) transposes around the kernels are ordinary jnp ops: autodiff
+# transposes gradients back automatically, and the public `sga` shares ONE
+# canonicalization between the two directions of each axis instead of
+# paying transpose traffic per direction.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _sweep_canonical(xk, wk, reverse: bool):
+    return _sweep_fwd_canonical(xk, wk, reverse)
+
+
+def _sweep_canonical_fwd(xk, wk, reverse):
+    a = _sweep_fwd_canonical(xk, wk, reverse)
+    return a, (xk, wk, a)
+
+
+def _sweep_canonical_bwd(reverse, res, gbar):
+    xk, wk, a = res
+    return _sweep_bwd_canonical(xk, wk, a, gbar, reverse)
+
+
+_sweep_canonical.defvjp(_sweep_canonical_fwd, _sweep_canonical_bwd)
+
+
 def sga_sweep(x, w, axis: str, reverse: bool):
     """Pallas directional sweep; same contract as ops.sga.sga_sweep."""
     xk, wk = _to_canonical(x, w, axis)
-    out = _sweep_fwd_canonical(xk, wk, reverse)
+    out = _sweep_canonical(xk, wk, reverse)
     return _from_canonical(out, x.shape, axis)
-
-
-def _sweep_fwd_rule(x, w, axis, reverse):
-    xk, wk = _to_canonical(x, w, axis)
-    a = _sweep_fwd_canonical(xk, wk, reverse)
-    out = _from_canonical(a, x.shape, axis)
-    return out, (xk, wk, a, x.shape)
-
-
-def _sweep_bwd_rule(axis, reverse, res, gbar):
-    xk, wk, a, shape = res
-    B, D, H, W, C = shape
-    gk, _ = _to_canonical(
-        gbar, jnp.zeros((B, H, W, C, 5), gbar.dtype), axis
-    )
-    dxk, dwk = _sweep_bwd_canonical(xk, wk, a, gk, reverse)
-    dx = _from_canonical(dxk, shape, axis)
-    dw = _w_from_canonical(dwk, shape, axis)
-    return dx, dw
-
-
-sga_sweep.defvjp(_sweep_fwd_rule, _sweep_bwd_rule)
 
 
 def sga(x: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """Full SGA (max over four directional Pallas sweeps); same contract as
-    ops.sga.sga."""
+    ops.sga.sga.  The volume is canonicalized once per axis (not per
+    direction) and the direction pair is max-fused in canonical space,
+    halving the transpose traffic around the kernels."""
     if weights.shape[-2:] != (4, 5):
         raise ValueError(f"weights must end in (4, 5), got {weights.shape}")
-    out_lr = sga_sweep(x, weights[..., 0, :], "w", False)
-    out_rl = sga_sweep(x, weights[..., 1, :], "w", True)
-    out_tb = sga_sweep(x, weights[..., 2, :], "h", False)
-    out_bt = sga_sweep(x, weights[..., 3, :], "h", True)
-    return jnp.maximum(
-        jnp.maximum(out_lr, out_rl), jnp.maximum(out_tb, out_bt)
-    )
+    per_axis = []
+    for axis, (d_fwd, d_rev) in (("w", (0, 1)), ("h", (2, 3))):
+        xk = _x_to_canonical(x, axis)
+        a_fwd = _sweep_canonical(
+            xk, _w_to_canonical(weights[..., d_fwd, :], axis), False
+        )
+        a_rev = _sweep_canonical(
+            xk, _w_to_canonical(weights[..., d_rev, :], axis), True
+        )
+        per_axis.append(
+            _from_canonical(jnp.maximum(a_fwd, a_rev), x.shape, axis)
+        )
+    return jnp.maximum(per_axis[0], per_axis[1])

@@ -29,3 +29,17 @@ def apply_platform_overrides(
         platform = "cpu"
     if platform:
         jax.config.update("jax_platforms", platform)
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> None:
+    """Persistent XLA compilation cache (big-model compiles take minutes,
+    both on the 2-core CPU and through the remote-TPU tunnel)."""
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "GANET_COMPILE_CACHE",
+        os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

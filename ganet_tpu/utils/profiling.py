@@ -59,30 +59,38 @@ def benchmark_fn_chained(
     import numpy as np
     from jax import lax
 
-    def make_loop(iters):
-        @jax.jit
-        def loop(x, rest):
-            def body(_, carry):
-                out = fn(carry, *rest)
-                # Data dependency that cannot be folded away but leaves the
-                # input numerically unchanged at f32 precision.
-                return carry + 1e-30 * jnp.mean(out)
+    # ONE compiled program (full-model compiles take minutes through the
+    # remote-TPU tunnel): a static-length fori_loop mapping x -> x-like,
+    # chained at the Python level via async dispatch.  Timing 1 chained
+    # call vs `iters_low + 1` cancels RPC + readback in the slope.
+    iters = max(2, iters_high)
 
-            final = lax.fori_loop(0, iters, body, x)
-            return jnp.sum(final)
+    @jax.jit
+    def loop(x, rest):
+        def body(_, carry):
+            out = fn(carry, *rest)
+            # Data dependency that cannot be folded away but leaves the
+            # input numerically unchanged at f32 precision.
+            return carry + 1e-30 * jnp.mean(out)
 
-        return loop
+        return lax.fori_loop(0, iters, body, x)
 
+    readback = jax.jit(jnp.sum)
+
+    def run_chain(n):
+        y = x
+        for _ in range(n):
+            y = loop(y, rest)
+        return float(np.asarray(readback(y)))
+
+    run_chain(1)  # compile + warm up
     times = {}
-    for iters in (iters_low, iters_high):
-        loop = make_loop(iters)
-        float(np.asarray(loop(x, rest)))  # compile + warm up
+    for n in (1, 1 + iters_low):
         t0 = time.perf_counter()
-        float(np.asarray(loop(x, rest)))
-        times[iters] = time.perf_counter() - t0
+        run_chain(n)
+        times[n] = time.perf_counter() - t0
     return max(
-        (times[iters_high] - times[iters_low]) / (iters_high - iters_low),
-        1e-9,
+        (times[1 + iters_low] - times[1]) / (iters_low * iters), 1e-9
     )
 
 

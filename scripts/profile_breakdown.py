@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Component-level latency breakdown of GANet-deep inference on the TPU.
+
+Times each stage of the pipeline (SURVEY.md §3.1 call stack) at the
+flagship bench shapes (576x960, D=192) using the chained-loop harness
+(ganet_tpu/utils/profiling.py) so remote-runtime dispatch overhead cancels.
+Run on the real chip:  python scripts/profile_breakdown.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ganet_tpu.utils.platform import apply_platform_overrides, enable_compile_cache
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=576)
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--max_disp", type=int, default=192)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--only", default="", help="comma-separated stage filter")
+    args = p.parse_args(argv)
+
+    apply_platform_overrides()
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from ganet_tpu.ops import dispatch, l1_normalize
+    from ganet_tpu.ops.cost_volume import build_cost_volume
+    from ganet_tpu.ops.disparity import disparity_regression, trilinear_upsample
+    from ganet_tpu.utils.profiling import benchmark_fn_chained
+
+    H, W, D = args.height, args.width, args.max_disp
+    H3, W3, D3 = H // 3, W // 3, D // 3
+    dtype = jnp.dtype(args.dtype)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+
+    stages = {}
+
+    # --- SGA blocks (full + half res, deep config: 3 + 4 blocks) ---------
+    C_full, C_half = 32, 48
+    x_full = jax.random.normal(ks[0], (1, D3, H3, W3, C_full), dtype)
+    w_full = l1_normalize(
+        jax.random.uniform(ks[1], (1, H3, W3, C_full, 4, 5), jnp.float32),
+        axis=-1,
+    ).astype(dtype)
+    stages["sga_full(x1)"] = (
+        lambda x: dispatch.sga(x, w_full, impl="pallas"),
+        x_full,
+    )
+    x_half = jax.random.normal(
+        ks[2], (1, D3 // 2, H3 // 2, W3 // 2, C_half), dtype
+    )
+    w_half = l1_normalize(
+        jax.random.uniform(
+            ks[3], (1, H3 // 2, W3 // 2, C_half, 4, 5), jnp.float32
+        ),
+        axis=-1,
+    ).astype(dtype)
+    stages["sga_half(x1)"] = (
+        lambda x: dispatch.sga(x, w_half, impl="pallas"),
+        x_half,
+    )
+
+    # --- LGA at full image resolution (DispAgg head: 2 apps x 2 repeats) -
+    x_lga = jax.random.normal(ks[4], (1, D, H, W), jnp.float32)
+    g_lga = l1_normalize(
+        jax.random.uniform(ks[5], (1, H, W, 75), jnp.float32), axis=-1
+    )
+    stages["lga_full(x1)"] = (
+        lambda x: dispatch.lga(x, g_lga, radius=2, repeats=1, impl="pallas"),
+        x_lga,
+    )
+
+    # --- trilinear upsample + softmax + regression (per head) ------------
+    x_low = jax.random.normal(ks[6], (1, D3, H3, W3), jnp.float32)
+
+    def head(x):
+        up = trilinear_upsample(x, (D, H, W))
+        p = jax.nn.softmax(-up, axis=1)
+        return disparity_regression(p, D)
+
+    stages["disp_head(upsample+softmax+reg)"] = (head, x_low)
+
+    # --- 3D conv (representative hourglass layer) -------------------------
+    import flax.linen as nn
+
+    conv = nn.Conv(C_full, (3, 3, 3), padding="SAME", use_bias=False, dtype=dtype)
+    cv0 = jax.random.normal(ks[7], (1, D3, H3, W3, 2 * C_full), dtype)
+    cvars = conv.init(key, cv0)
+
+    stages["conv3d_3x3x3_64to32_fullres(x1)"] = (
+        lambda x: conv.apply(cvars, x),
+        cv0,
+    )
+
+    # --- cost volume -------------------------------------------------------
+    f_l = jax.random.normal(ks[0], (1, H3, W3, C_full), dtype)
+    f_r = jax.random.normal(ks[1], (1, H3, W3, C_full), dtype)
+    stages["cost_volume"] = (
+        lambda x: build_cost_volume(x, f_r, D3),
+        f_l,
+    )
+
+    # --- feature + guidance nets ------------------------------------------
+    from ganet_tpu.config import ganet_deep
+    from ganet_tpu.models.feature import FeatureNet
+    from ganet_tpu.models.guidance import GuidanceNet
+
+    cfg = ganet_deep(max_disp=D, compute_dtype=args.dtype)
+    img = jax.random.normal(ks[2], (2, H, W, 3), jnp.float32)
+    fnet = FeatureNet(cfg)
+    fvars = jax.jit(lambda k: fnet.init(k, img, False))(key)
+    stages["feature_net(both views)"] = (
+        lambda x: fnet.apply(fvars, x, False),
+        img,
+    )
+
+    gnet = GuidanceNet(cfg)
+    img1 = img[:1]
+    feat1 = jax.random.normal(ks[3], (1, H3, W3, C_full), dtype)
+    gvars = jax.jit(lambda k: gnet.init(k, img1, feat1, False))(key)
+    def guidance_all(x):
+        # Sum over every output head so none is dead-code-eliminated.
+        leaves = jax.tree_util.tree_leaves(gnet.apply(gvars, x, feat1, False))
+        return jnp.stack([jnp.mean(l.astype(jnp.float32)) for l in leaves])
+
+    stages["guidance_net"] = (guidance_all, img1)
+
+    only = [s for s in args.only.split(",") if s]
+    for name, (fn, x) in stages.items():
+        if only and not any(o in name for o in only):
+            continue
+        try:
+            sec = benchmark_fn_chained(fn, x, iters_low=2, iters_high=4)
+            print(f"{name:42s} {sec * 1e3:9.2f} ms", flush=True)
+        except Exception as e:  # keep going; report the failure
+            print(f"{name:42s} FAILED: {type(e).__name__}: {e}", flush=True)
+            continue
+
+
+if __name__ == "__main__":
+    main()
