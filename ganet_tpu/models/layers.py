@@ -17,8 +17,82 @@ from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 Dtype = Any
+
+
+def conv3d_via_2d(
+    x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1
+) -> jnp.ndarray:
+    """3D 'SAME' convolution decomposed into kd batched 2D convolutions.
+
+    XLA's native 3-spatial-dim convolution reaches only a few percent of
+    MXU peak at this model's shapes (measured 26.4 ms for 3x3x3 64->32 on
+    a (64,192,320) volume); folding the disparity axis into the conv batch
+    and summing over the kd depth taps is mathematically identical and
+    ~1.6x faster (16.6 ms).  Matches XLA 'SAME' padding exactly (low-side
+    pad = pad_total//2) so it is interchangeable with lax.conv.
+
+    Args:
+      x: (B, D, H, W, Cin).
+      kernel: (kd, kh, kw, Cin, Cout) — DHWIO, the nn.Conv layout.
+      stride: common stride for all three spatial dims (1 or 2).
+    Returns:
+      (B, D', H', W', Cout) in float32 (accumulation dtype).
+    """
+    B, D, H, W, Cin = x.shape
+    kd = kernel.shape[0]
+    Do = -(-D // stride)
+    pad_total = max((Do - 1) * stride + kd - D, 0)
+    lo = pad_total // 2
+    xp = jnp.pad(x, ((0, 0), (lo, pad_total - lo), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for dz in range(kd):
+        xs = lax.slice_in_dim(xp, dz, dz + stride * (Do - 1) + 1, stride, axis=1)
+        xs = xs.reshape((B * Do, H, W, Cin))
+        o = lax.conv_general_dilated(
+            xs,
+            kernel[dz],
+            (stride, stride),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        out = o if out is None else out + o
+    Ho, Wo = out.shape[1], out.shape[2]
+    return out.reshape(B, Do, Ho, Wo, out.shape[-1])
+
+
+class FastConv3d(nn.Module):
+    """Drop-in 3x3x3 'SAME' conv module computing via conv3d_via_2d.
+
+    Same parameter structure as nn.Conv (kernel DHWIO, optional bias)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (k, k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        y = conv3d_via_2d(
+            x.astype(self.dtype), kernel.astype(self.dtype), self.stride
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias
+        return y.astype(self.dtype)
 
 
 class BasicConv(nn.Module):
@@ -50,6 +124,15 @@ class BasicConv(nn.Module):
                 use_bias=not self.use_bn,
                 dtype=self.dtype,
                 kernel_init=nn.initializers.he_normal(),
+            )(x)
+        elif self.is_3d and self.dilation == 1:
+            # Hot path: every 3D conv in the aggregation hourglass.
+            x = FastConv3d(
+                self.features,
+                kernel_size=self.kernel_size,
+                stride=self.stride,
+                use_bias=not self.use_bn,
+                dtype=self.dtype,
             )(x)
         else:
             x = nn.Conv(

@@ -105,28 +105,52 @@ def _pad_tiles(a, Ht, Wt):
 # ---------------------------------------------------------------------------
 
 
-def _make_fwd_kernel(K: int, Ht: int, Wt: int):
+def _make_fwd_kernel(K: int, Ht: int, Wt: int, D: int):
     r = (K - 1) // 2
     wh = Ht + 2 * _HALO_H
     ww = Wt + 2 * _HALO_W
 
-    def kernel(xp_ref, g_ref, o_ref, xwin, sem):
+    def kernel(xp_ref, g_ref, o_ref, xwin, sems):
+        """xwin: (4, wh, ww) rotating buffer of padded-D slices; step d uses
+        padded slices d, d+1, d+2 (slots mod 4) while slice d+3 prefetches
+        into the free slot — one slice of DMA per step instead of a full
+        3-slice window (3x read traffic), overlapped with compute.  The D
+        grid dim is innermost, so the buffer persists across d."""
         b = pl.program_id(0)
         h = pl.program_id(1)
         w = pl.program_id(2)
         d = pl.program_id(3)
-        dma = pltpu.make_async_copy(
-            xp_ref.at[b, pl.ds(d, 3), pl.ds(h * Ht, wh), pl.ds(w * Wt, ww)],
-            xwin,
-            sem,
-        )
-        dma.start()
-        dma.wait()
+
+        def fetch(idx):
+            return pltpu.make_async_copy(
+                xp_ref.at[b, idx, pl.ds(h * Ht, wh), pl.ds(w * Wt, ww)],
+                xwin.at[idx % 4],
+                sems.at[idx % 4],
+            )
+
+        @pl.when(d == 0)
+        def _():
+            for i in range(min(3, D + 2)):
+                fetch(i).start()
+
+        # Wait for this step's newest slice (started at d==0 or prefetched
+        # at step d-1), then prefetch d+3 for the next step.
+        fetch(d + 2).wait()
+
+        @pl.when(d + 3 <= D + 1)
+        def _():
+            fetch(d + 3).start()
+
+        @pl.when(d == 0)
+        def _():
+            fetch(0).wait()
+            fetch(1).wait()
+
         acc = jnp.zeros((Ht, Wt), jnp.float32)
-        # filter k: 0 -> same d (xwin[1]), 1 -> d-1 (xwin[0]), 2 -> d+1
-        # (xwin[2]); guidance channel layout (k, dy, dx) row-major.
-        for k, xslice in ((0, 1), (1, 0), (2, 2)):
-            xs = xwin[xslice].astype(jnp.float32)
+        # filter k: 0 -> same d (padded slice d+1), 1 -> d-1 (slice d),
+        # 2 -> d+1 (slice d+2); guidance channels (k, dy, dx) row-major.
+        for k, off in ((0, 1), (1, 0), (2, 2)):
+            xs = xwin[(d + off) % 4].astype(jnp.float32)
             for iy in range(K):
                 oy = _HALO_H + iy - r
                 for ix in range(K):
@@ -150,7 +174,7 @@ def _lga_once(x: jnp.ndarray, g75: jnp.ndarray, radius: int) -> jnp.ndarray:
 
     grid = (B, Hp // Ht, Wp // Wt, D)
     out = pl.pallas_call(
-        _make_fwd_kernel(K, Ht, Wt),
+        _make_fwd_kernel(K, Ht, Wt, D),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # xp: manual halo DMA
@@ -167,8 +191,8 @@ def _lga_once(x: jnp.ndarray, g75: jnp.ndarray, radius: int) -> jnp.ndarray:
         ),
         out_shape=jax.ShapeDtypeStruct((B, D, Hp, Wp), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, Ht + 2 * _HALO_H, Wt + 2 * _HALO_W), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((4, Ht + 2 * _HALO_H, Wt + 2 * _HALO_W), x.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=_interpret(),
     )(xp, gp)
@@ -180,7 +204,7 @@ def _lga_once(x: jnp.ndarray, g75: jnp.ndarray, radius: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _make_bwd_kernel(K: int, Ht: int, Wt: int):
+def _make_bwd_kernel(K: int, Ht: int, Wt: int, D: int):
     r = (K - 1) // 2
     wh = Ht + 2 * _HALO_H
     ww = Wt + 2 * _HALO_W
@@ -196,39 +220,56 @@ def _make_bwd_kernel(K: int, Ht: int, Wt: int):
         Outputs:
           dx_ref  (1, 1, Ht, Wt)
           dg_ref  (1, 75, Ht, Wt) accumulated over the D grid dim
+        xwin/bwin are (4, wh, ww) rotating padded-D slice buffers (see the
+        forward kernel): one new slice per step, prefetched during compute.
         """
         b = pl.program_id(0)
         h = pl.program_id(1)
         w = pl.program_id(2)
         d = pl.program_id(3)
 
-        cp1 = pltpu.make_async_copy(
-            xp_ref.at[b, pl.ds(d, 3), pl.ds(h * Ht, wh), pl.ds(w * Wt, ww)],
-            xwin,
-            sems.at[0],
-        )
-        cp2 = pltpu.make_async_copy(
-            gbp_ref.at[b, pl.ds(d, 3), pl.ds(h * Ht, wh), pl.ds(w * Wt, ww)],
-            bwin,
-            sems.at[1],
-        )
-        cp1.start()
-        cp2.start()
+        def fetch_x(idx):
+            return pltpu.make_async_copy(
+                xp_ref.at[b, idx, pl.ds(h * Ht, wh), pl.ds(w * Wt, ww)],
+                xwin.at[idx % 4],
+                sems.at[idx % 4],
+            )
 
-        # The guidance window is d-independent: fetch once per spatial tile
-        # (D is the innermost grid dim, so scratch persists across it).
+        def fetch_b(idx):
+            return pltpu.make_async_copy(
+                gbp_ref.at[b, idx, pl.ds(h * Ht, wh), pl.ds(w * Wt, ww)],
+                bwin.at[idx % 4],
+                sems.at[4 + idx % 4],
+            )
+
         @pl.when(d == 0)
         def _():
+            for i in range(min(3, D + 2)):
+                fetch_x(i).start()
+                fetch_b(i).start()
+            # The guidance window is d-independent: fetch once per spatial
+            # tile (D is the innermost grid dim; scratch persists across it).
             cp3 = pltpu.make_async_copy(
                 gwp_ref.at[b, :, pl.ds(h * Ht, wh), pl.ds(w * Wt, ww)],
                 gwin,
-                sems.at[2],
+                sems.at[8],
             )
             cp3.start()
             cp3.wait()
 
-        cp1.wait()
-        cp2.wait()
+        fetch_x(d + 2).wait()
+        fetch_b(d + 2).wait()
+
+        @pl.when(d + 3 <= D + 1)
+        def _():
+            fetch_x(d + 3).start()
+            fetch_b(d + 3).start()
+
+        @pl.when(d == 0)
+        def _():
+            for i in range(min(2, D + 1)):
+                fetch_x(i).wait()
+                fetch_b(i).wait()
 
         f32 = jnp.float32
         # dx: transposed stencil.  bwin slices: [0]=gbar(d-1), [1]=gbar(d),
@@ -237,7 +278,7 @@ def _make_bwd_kernel(K: int, Ht: int, Wt: int):
         # k1->+1, k2->-1.
         acc_dx = jnp.zeros((Ht, Wt), f32)
         for k, bslice in ((0, 1), (1, 2), (2, 0)):
-            bw = bwin[bslice].astype(f32)
+            bw = bwin[(d + bslice) % 4].astype(f32)
             for iy in range(K):
                 jy = _HALO_H + r - iy  # p-off window start
                 for ix in range(K):
@@ -257,7 +298,7 @@ def _make_bwd_kernel(K: int, Ht: int, Wt: int):
             dg_ref[...] = jnp.zeros_like(dg_ref)
 
         for k, xslice in ((0, 1), (1, 0), (2, 2)):
-            xs = xwin[xslice].astype(f32)
+            xs = xwin[(d + xslice) % 4].astype(f32)
             for iy in range(K):
                 oy = _HALO_H + iy - r
                 for ix in range(K):
@@ -287,7 +328,7 @@ def _lga_bwd_once(
 
     grid = (B, Hp // Ht, Wp // Wt, D)
     dx, dg = pl.pallas_call(
-        _make_bwd_kernel(K, Ht, Wt),
+        _make_bwd_kernel(K, Ht, Wt, D),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -316,12 +357,12 @@ def _lga_bwd_once(
             jax.ShapeDtypeStruct((B, 3 * K * K, Hp, Wp), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, Ht + 2 * _HALO_H, Wt + 2 * _HALO_W), x.dtype),
-            pltpu.VMEM((3, Ht + 2 * _HALO_H, Wt + 2 * _HALO_W), gbar.dtype),
+            pltpu.VMEM((4, Ht + 2 * _HALO_H, Wt + 2 * _HALO_W), x.dtype),
+            pltpu.VMEM((4, Ht + 2 * _HALO_H, Wt + 2 * _HALO_W), gbar.dtype),
             pltpu.VMEM(
                 (3 * K * K, Ht + 2 * _HALO_H, Wt + 2 * _HALO_W), g75.dtype
             ),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((9,)),
         ],
         interpret=_interpret(),
     )(xp, gbp, gwp, gb_tiles)

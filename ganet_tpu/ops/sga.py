@@ -41,7 +41,11 @@ DIRECTIONS = ("lr", "rl", "tb", "bt")
 
 
 def _sweep_along_leading(
-    xs: jnp.ndarray, ws: jnp.ndarray, reverse: bool, initial=None
+    xs: jnp.ndarray,
+    ws: jnp.ndarray,
+    reverse: bool,
+    initial=None,
+    initial_valid=None,
 ) -> jnp.ndarray:
     """Scan the recurrence along the leading axis.
 
@@ -53,25 +57,49 @@ def _sweep_along_leading(
     Args:
       xs: (L, B, D, P, C) cost slices along the sweep axis.
       ws: (L, B, P, C, 5) normalized weights along the sweep axis.
+      initial: optional (B, D, P, C) aggregated carry entering step 0.
+      initial_valid: optional traced bool — when False, the sweep falls
+        back to the reference boundary condition (first step copies x)
+        even though `initial` was supplied.  Lets the cross-shard pipeline
+        use ONE scan for both the pipeline-head shard and seeded shards.
     Returns:
       (L, B, D, P, C) aggregated slices (in array order).
     """
 
-    def step(prev, inputs):
-        xt, wt = inputs  # (B, D, P, C), (B, P, C, 5)
+    def recurrence(prev, xt, wt):
         w = jnp.moveaxis(wt, -1, 0)[:, :, None]  # (5, B, 1, P, C)
         prev_dm1 = jnp.pad(prev[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
         prev_dp1 = jnp.pad(prev[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
         prev_max = jnp.max(prev, axis=1, keepdims=True)
-        out = (
+        return (
             w[0] * xt
             + w[1] * prev
             + w[2] * prev_dm1
             + w[3] * prev_dp1
             + w[4] * prev_max
         )
+
+    def step(prev, inputs):
+        xt, wt = inputs  # (B, D, P, C), (B, P, C, 5)
+        out = recurrence(prev, xt, wt)
         return out, out
 
+    if initial is not None and initial_valid is not None:
+        # One scan serving both boundary conditions: the first sweep step
+        # selects between the seeded recurrence and the reference copy-x.
+        L = xs.shape[0]
+        first_idx = L - 1 if reverse else 0
+        flags = jnp.arange(L) == first_idx
+
+        def step_flagged(prev, inputs):
+            xt, wt, is_first = inputs
+            out = recurrence(prev, xt, wt)
+            use_ref = jnp.logical_and(is_first, jnp.logical_not(initial_valid))
+            out = jnp.where(use_ref, xt, out)
+            return out, out
+
+        _, out = lax.scan(step_flagged, initial, (xs, ws, flags), reverse=reverse)
+        return out
     if initial is not None:
         # Seeded sweep (cross-shard pipeline): every step applies the full
         # recurrence; the seed is the aggregated carry entering step 0.

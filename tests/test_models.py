@@ -107,3 +107,41 @@ class TestPresets:
         assert model_config("GANet_deep").name == "GANet_deep"
         with pytest.raises(KeyError):
             model_config("nope")
+
+
+class TestFastConv3d:
+    def test_matches_lax_conv3d(self, rng):
+        import jax.numpy as jnp
+        from jax import lax
+
+        from ganet_tpu.models.layers import conv3d_via_2d
+
+        for stride, D in ((1, 6), (2, 6), (2, 7), (1, 1)):
+            x = jnp.asarray(
+                rng.standard_normal((2, D, 8, 9, 5)).astype(np.float32)
+            )
+            k = jnp.asarray(
+                rng.standard_normal((3, 3, 3, 5, 4)).astype(np.float32)
+            )
+            want = lax.conv_general_dilated(
+                x, k, (stride,) * 3, "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+            got = conv3d_via_2d(x, k, stride)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+            ), (stride, D)
+
+    def test_grads_flow(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from ganet_tpu.models.layers import conv3d_via_2d
+
+        x = jnp.asarray(rng.standard_normal((1, 4, 6, 6, 3)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, 3, 2)).astype(np.float32))
+        gx, gk = jax.grad(
+            lambda a, b: jnp.sum(conv3d_via_2d(a, b) ** 2), argnums=(0, 1)
+        )(x, k)
+        assert np.isfinite(np.asarray(gx)).all()
+        assert np.isfinite(np.asarray(gk)).all()
