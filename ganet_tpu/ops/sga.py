@@ -122,6 +122,7 @@ def sga_sweep(
     axis: str,
     reverse: bool,
     initial=None,
+    initial_valid=None,
 ) -> jnp.ndarray:
     """One directional sweep.
 
@@ -136,6 +137,10 @@ def sga_sweep(
         reference boundary condition (first step copies x); a seed is used
         by the cross-shard pipeline (parallel/sharded_sga.py), where the
         carry arrives from the neighboring shard.
+      initial_valid: optional traced bool paired with `initial` — when
+        False the sweep applies the reference boundary condition instead
+        of the seed (used by the wavefront pipeline, where the head shard
+        of the pipeline has no upstream neighbor).
     Returns:
       aggregated volume, same shape as x.
     """
@@ -146,7 +151,7 @@ def sga_sweep(
 
     xs = jnp.moveaxis(x, spatial, 0)  # (L, B, D, P, C)
     ws = jnp.moveaxis(w, w_spatial, 0)  # (L, B, P, C, 5)
-    out = _sweep_along_leading(xs, ws, reverse, initial)
+    out = _sweep_along_leading(xs, ws, reverse, initial, initial_valid)
     return jnp.moveaxis(out, 0, spatial)
 
 

@@ -9,14 +9,12 @@ shard_map:
     — each device runs its local sweep, no communication;
   * vertical sweeps (along H) have a true sequential dependency across
     shards: shard i's sweep is seeded with the aggregated boundary row of
-    shard i-1.  This runs as a linear pipeline: at stage s shard s runs its
-    local (seeded) sweep and ppermutes its final row to shard s+1.  Wall
-    time for one vertical sweep therefore matches the unsharded sweep (the
-    recurrence is inherently sequential) while per-device memory drops by
-    the shard count — and the other half of SGA (horizontal sweeps) plus
-    all 3D convolutions do scale.  Wavefront pipelining (splitting W into
-    chunks so shard s+1 starts before shard s finishes) is the planned
-    follow-up optimization.
+    shard i-1.  This runs as a WAVEFRONT pipeline over W-chunks (the same
+    schedule ring-attention uses for its sequential dimension): shard s
+    sweeps chunk c at step t = s + c and forwards the chunk's boundary row
+    with ppermute, so every shard is busy once the pipeline fills and the
+    vertical sweep's wall time approaches T_unsharded / S for
+    chunks >> S, instead of the naive S * T_local.
 
 Gradients flow through the pipeline automatically: ppermute and the seeded
 scan are both differentiable, so this module is usable in training.
@@ -37,10 +35,21 @@ from ganet_tpu.ops.normalize import l1_normalize
 from ganet_tpu.ops.sga import sga_sweep as _sweep
 
 
-def _pipelined_vertical_sweep(x, w, reverse: bool, axis_name: str):
-    """Local block of a vertical (along-H) sweep inside shard_map.
+def _pipelined_vertical_sweep(
+    x, w, reverse: bool, axis_name: str, chunks: int = 0
+):
+    """Local block of a vertical (along-H) sweep inside shard_map, run as a
+    WAVEFRONT pipeline over W-chunks.
 
     x: (B, D, Hl, W, C) local shard; w: (B, Hl, W, C, 5).
+
+    Shard s (in sweep order) processes W-chunk c at wavefront step
+    t = s + c: it runs the seeded local sweep on that chunk and ppermutes
+    the chunk's final boundary row to shard s+1, which consumes it at step
+    t+1.  All shards are busy once the pipeline fills, so a vertical sweep
+    costs (S + chunks - 1)/chunks local-chunk sweeps of wall time
+    (~T_local for chunks >> S) instead of S full local sweeps — the
+    classic wavefront over an inherently sequential recurrence.
     """
     S = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
@@ -48,6 +57,14 @@ def _pipelined_vertical_sweep(x, w, reverse: bool, axis_name: str):
 
     if S == 1:
         return _sweep(x, w, "h", reverse)
+
+    if chunks <= 0:
+        # Enough chunks to keep pipeline fill low while keeping each chunk
+        # lane-friendly (>= 128 wide where possible).
+        chunks = max(1, min(4 * S, W // 128)) if W >= 128 else 1
+    while W % chunks:
+        chunks -= 1
+    Wc = W // chunks
 
     # Shard order along the sweep: for a reverse sweep the pipeline starts
     # at the last shard.
@@ -57,40 +74,49 @@ def _pipelined_vertical_sweep(x, w, reverse: bool, axis_name: str):
     else:
         perm = [(i, i + 1) for i in range(S - 1)]
 
-    def local_sweep(boundary, is_first_shard):
-        # First shard of the pipeline uses the reference boundary condition
-        # (first row copies x); downstream shards are seeded.
-        seeded = _sweep(x, w, "h", reverse, initial=boundary)
-        ref = _sweep(x, w, "h", reverse)
-        return jnp.where(is_first_shard, ref, seeded)
+    head = my_stage == 0  # no upstream neighbor: reference boundary cond.
 
-    def body(s, state):
-        boundary, result = state
-        local = local_sweep(boundary, jnp.logical_and(my_stage == 0, s == 0))
-        # Freeze my result at my stage.
-        result = jnp.where(my_stage == s, local, result)
-        # Boundary row leaving this shard toward the next stage.
+    def body(t, state):
+        boundary, result = state  # boundary: (B, D, Wc, C) seed row chunk
+        c = t - my_stage
+        active = jnp.logical_and(c >= 0, c < chunks)
+        cw = jnp.clip(c, 0, chunks - 1) * Wc
+        xc = lax.dynamic_slice(x, (0, 0, 0, cw, 0), (B, D, Hl, Wc, C))
+        wc = lax.dynamic_slice(w, (0, 0, cw, 0, 0), (B, Hl, Wc, C, 5))
+        local = _sweep(
+            xc,
+            wc,
+            "h",
+            reverse,
+            initial=boundary,
+            initial_valid=jnp.logical_not(head),
+        )
+        result = jnp.where(
+            active,
+            lax.dynamic_update_slice(result, local, (0, 0, 0, cw, 0)),
+            result,
+        )
+        # This chunk's outgoing boundary row; shard s+1 consumes it at t+1.
         last = local[:, :, 0, :, :] if reverse else local[:, :, -1, :, :]
-        nb = lax.ppermute(last, axis_name, perm)
-        boundary = jnp.where(my_stage == s + 1, nb, boundary)
+        boundary = lax.ppermute(last, axis_name, perm)
         return boundary, result
 
     # Derive the zero seed from x so it carries the same shard_map
     # "varying over axis" type as the loop body's output.
-    boundary0 = x[:, :, 0, :, :] * 0.0
+    boundary0 = x[:, :, 0, :Wc, :] * 0.0
     _, result = lax.fori_loop(
-        0, S, body, (boundary0, jnp.zeros_like(x))
+        0, S + chunks - 1, body, (boundary0, jnp.zeros_like(x))
     )
     return result
 
 
-def _sharded_sga_local(x, w, axis_name: str):
+def _sharded_sga_local(x, w, axis_name: str, chunks: int = 0):
     """Full SGA on an H-sharded local block: 2 local horizontal sweeps, 2
     pipelined vertical sweeps, max fusion."""
     out_lr = _sweep(x, w[..., 0, :], "w", False)
     out_rl = _sweep(x, w[..., 1, :], "w", True)
-    out_tb = _pipelined_vertical_sweep(x, w[..., 2, :], False, axis_name)
-    out_bt = _pipelined_vertical_sweep(x, w[..., 3, :], True, axis_name)
+    out_tb = _pipelined_vertical_sweep(x, w[..., 2, :], False, axis_name, chunks)
+    out_bt = _pipelined_vertical_sweep(x, w[..., 3, :], True, axis_name, chunks)
     return jnp.maximum(
         jnp.maximum(out_lr, out_rl), jnp.maximum(out_tb, out_bt)
     )
@@ -101,19 +127,21 @@ def sharded_sga(
     weights: jnp.ndarray,
     mesh: Mesh,
     axis_name: str = "space",
+    chunks: int = 0,
 ) -> jnp.ndarray:
     """SGA over a cost volume sharded along H on `axis_name`.
 
     Same contract as ops.sga.sga: x (B, D, H, W, C), weights
     (B, H, W, C, 4, 5) L1-normalized by the caller.  H must be divisible
-    by the shard count.
+    by the shard count.  `chunks` sets the W-chunk count of the vertical
+    wavefront pipeline (0 = auto: ~4x the shard count, lane-aligned).
     """
     if weights.shape[-2:] != (4, 5):
         raise ValueError(f"weights must end in (4, 5), got {weights.shape}")
     spec_x = P(None, None, axis_name, None, None)
     spec_w = P(None, axis_name, None, None, None, None)
     fn = shard_map(
-        functools.partial(_sharded_sga_local, axis_name=axis_name),
+        functools.partial(_sharded_sga_local, axis_name=axis_name, chunks=chunks),
         mesh=mesh,
         in_specs=(spec_x, spec_w),
         out_specs=spec_x,

@@ -47,6 +47,21 @@ class TestShardedSGA:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
             )
 
+    @pytest.mark.parametrize("chunks", [2, 5])
+    def test_wavefront_chunks_match_unsharded(self, rng, mesh4, chunks):
+        # chunks > 1 exercises the true wavefront schedule (several chunks
+        # in flight across shards), including a W not divisible by the
+        # requested chunk count (5 -> falls back to a divisor).
+        B, D, H, W, C = 1, 5, 8, 12, 2
+        x = jnp.asarray(rng.standard_normal((B, D, H, W, C)).astype(np.float32))
+        w = l1_normalize(
+            jnp.asarray(rng.standard_normal((B, H, W, C, 4, 5)).astype(np.float32)),
+            axis=-1,
+        )
+        want = np.asarray(sga_ref(x, w))
+        got = np.asarray(sharded_sga(x, w, mesh4, chunks=chunks))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
     def test_rejects_bad_weights(self, rng, mesh4):
         x = jnp.zeros((1, 4, 8, 6, 1))
         with pytest.raises(ValueError, match=r"\(4, 5\)"):
