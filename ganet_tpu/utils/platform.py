@@ -33,13 +33,19 @@ def apply_platform_overrides(
 
 def enable_compile_cache(cache_dir: str | None = None) -> None:
     """Persistent XLA compilation cache (big-model compiles take minutes,
-    both on the 2-core CPU and through the remote-TPU tunnel)."""
+    both on the 2-core CPU and through the remote-TPU tunnel).
+
+    The cache is keyed per backend platform: entries written through the
+    remote-TPU tunnel can carry the REMOTE host's CPU feature set, and
+    loading those in a local CPU process warns about (and risks) SIGILL.
+    """
     import jax
 
     cache_dir = cache_dir or os.environ.get(
         "GANET_COMPILE_CACHE",
         os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"),
     )
-    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+    cache_dir = os.path.join(os.path.abspath(cache_dir), jax.default_backend())
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

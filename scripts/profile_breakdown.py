@@ -93,11 +93,13 @@ def main(argv=None):
     # --- 3D conv (representative hourglass layer) -------------------------
     import flax.linen as nn
 
-    conv = nn.Conv(C_full, (3, 3, 3), padding="SAME", use_bias=False, dtype=dtype)
+    from ganet_tpu.models.layers import FastConv3d
+
+    conv = FastConv3d(C_full, 3, use_bias=False, dtype=dtype)
     cv0 = jax.random.normal(ks[7], (1, D3, H3, W3, 2 * C_full), dtype)
     cvars = conv.init(key, cv0)
 
-    stages["conv3d_3x3x3_64to32_fullres(x1)"] = (
+    stages["conv3d_64to32_fullres_decomposed(x1)"] = (
         lambda x: conv.apply(cvars, x),
         cv0,
     )
@@ -134,6 +136,39 @@ def main(argv=None):
         return jnp.stack([jnp.mean(l.astype(jnp.float32)) for l in leaves])
 
     stages["guidance_net"] = (guidance_all, img1)
+
+    # --- whole cost-aggregation module (convs + SGA + heads) --------------
+    from ganet_tpu.models.aggregation import CostAggregation, DispAggHead
+
+    agg = CostAggregation(cfg)
+    cv_in = jax.random.normal(ks[4], (1, D3, H3, W3, 2 * C_full), dtype)
+    guid = {
+        "sg_full": [
+            jax.random.normal(ks[i % 8], (1, H3, W3, 4 * 5 * C_full), dtype)
+            for i in range(cfg.num_sga_full)
+        ],
+        "sg_half": [
+            jax.random.normal(
+                ks[i % 8], (1, H3 // 2, W3 // 2, 4 * 5 * C_half), dtype
+            )
+            for i in range(cfg.num_sga_half)
+        ],
+        "lg1": jax.random.normal(ks[5], (1, H, W, 75), dtype),
+        "lg2": jax.random.normal(ks[6], (1, H, W, 75), dtype),
+    }
+    avars = jax.jit(lambda k: agg.init(k, cv_in, guid, False))(key)
+    stages["cost_aggregation(module, eval)"] = (
+        lambda x: agg.apply(avars, x, guid, False)[-1],
+        cv_in,
+    )
+
+    dah = DispAggHead(cfg)
+    x_agg = jax.random.normal(ks[7], (1, D3, H3, W3, C_full), dtype)
+    dvars = jax.jit(lambda k: dah.init(k, x_agg, guid["lg1"], guid["lg2"], False))(key)
+    stages["dispagg_head(module, eval)"] = (
+        lambda x: dah.apply(dvars, x, guid["lg1"], guid["lg2"], False),
+        x_agg,
+    )
 
     only = [s for s in args.only.split(",") if s]
     for name, (fn, x) in stages.items():

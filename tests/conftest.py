@@ -27,11 +27,16 @@ else:
     import jax
 
 # Persistent compilation cache: full-model gradient compiles take minutes on
-# this 2-core box; cache them across test runs.
+# this 2-core box; cache them across test runs.  Keyed per backend (entries
+# written through the remote-TPU tunnel can carry a foreign host's CPU
+# features — see ganet_tpu.utils.platform.enable_compile_cache).
 _cache_dir = os.environ.get(
     "GANET_COMPILE_CACHE", os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 )
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.abspath(_cache_dir), jax.default_backend()),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

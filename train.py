@@ -60,6 +60,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--bf16", type=int, default=0, help="bfloat16 conv compute")
     p.add_argument("--sga_impl", type=str, default="auto",
                    choices=["auto", "scan", "pallas"])
+    p.add_argument("--distributed", type=int, default=0,
+                   help="multi-host: jax.distributed.initialize() before "
+                        "building the mesh (coordinator from the standard "
+                        "JAX env vars / TPU metadata)")
+    p.add_argument("--compile_cache", type=int, default=1,
+                   help="persistent XLA compilation cache")
     return p.parse_args(argv)
 
 
@@ -109,9 +115,22 @@ def build_config(args: argparse.Namespace) -> TrainConfig:
 def main(argv=None):
     args = parse_args(argv)
     cfg = build_config(args)
-    from ganet_tpu.utils.platform import apply_platform_overrides
+    from ganet_tpu.utils.platform import (
+        apply_platform_overrides,
+        enable_compile_cache,
+    )
 
     apply_platform_overrides()
+    if args.compile_cache:
+        enable_compile_cache()
+    if args.distributed:
+        # Multi-host bring-up (SURVEY.md §5 "Distributed communication
+        # backend"): the coordinator address/process count come from the
+        # standard JAX env vars or the TPU pod metadata; the mesh built by
+        # the Trainer then spans all global devices.
+        import jax
+
+        jax.distributed.initialize()
     from ganet_tpu.train.trainer import Trainer  # defer jax import cost
 
     trainer = Trainer(cfg)
