@@ -48,6 +48,11 @@ class ModelConfig:
     # SGA/LGA kernel implementation: "scan" (pure-JAX oracle), "pallas"
     # (TPU kernels), or "auto" (pallas on TPU backends, scan elsewhere).
     sga_impl: str = "auto"
+    # SGA 5-weight normalization: "l1" (F.normalize p=1) or "softmax".
+    # SURVEY.md §0 vs §2 #6 disagree and the reference mount is empty —
+    # both are implemented; resolve against the real source when possible
+    # (see ops/normalize.py).
+    sga_norm: str = "l1"
     # LGA applications in the DispAgg head (reference uses LGA2 = 2 passes).
     lga_repeats: int = 2
 

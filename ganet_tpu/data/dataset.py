@@ -86,6 +86,10 @@ class StereoDataset:
     training: bool = True
     max_disp: int = 192
     seed: int = 0
+    # Also return the right-view ground truth as disparity_right /
+    # valid_right (reference --left_right; dataloader/dataset.py returns
+    # right-view GT when set — SURVEY.md §2 #9).  SceneFlow only.
+    left_right: bool = False
     # Decode in the native C++ core (native/ganet_io.cpp) when available;
     # falls back to the pure-Python readers transparently.
     use_native: bool = True
@@ -94,6 +98,11 @@ class StereoDataset:
         self.entries = read_list(self.list_path)
         self._rng = np.random.default_rng(self.seed)
         self._size_cache = {}
+        if self.left_right and self.kind != "sceneflow":
+            raise ValueError(
+                "left_right requires right-view ground truth, which only"
+                " SceneFlow provides (KITTI publishes left-view GT only)"
+            )
 
     def _native_item(self, index: int, paths):
         from ganet_tpu.data import native_io
@@ -146,7 +155,7 @@ class StereoDataset:
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         paths = derive_paths(self.data_path, self.entries[index], self.kind)
-        if self.use_native:
+        if self.use_native and not self.left_right:
             try:
                 sample = self._native_item(index, paths)
             except IOError:
@@ -155,31 +164,40 @@ class StereoDataset:
                 return sample
         left = kitti_io.read_image(paths.left)
         right = kitti_io.read_image(paths.right)
-        if self.kind == "sceneflow":
-            disp = pfm.read_pfm(paths.disparity)
-            if disp.ndim == 3:
-                disp = disp[..., 0]
-            disp = np.abs(disp)  # SceneFlow signs disparity by view
-        else:
-            disp = kitti_io.read_disparity_png(paths.disparity)
 
-        left = normalize_image(left)
-        right = normalize_image(right)
+        def read_disp(path):
+            if self.kind == "sceneflow":
+                d = pfm.read_pfm(path)
+                if d.ndim == 3:
+                    d = d[..., 0]
+                return np.abs(d)  # SceneFlow signs disparity by view
+            return kitti_io.read_disparity_png(path)
+
+        disp = read_disp(paths.disparity)
+        arrays = [normalize_image(left), normalize_image(right), disp]
+        if self.left_right:
+            arrays.append(read_disp(paths.disparity_right))
         if self.training:
-            left, right, disp = _random_crop(
-                (left, right, disp), self.crop_height, self.crop_width, self._rng
+            arrays = _random_crop(
+                tuple(arrays), self.crop_height, self.crop_width, self._rng
             )
         else:
-            left, right, disp = _pad_to(
-                (left, right, disp), self.crop_height, self.crop_width
-            )
+            arrays = _pad_to(tuple(arrays), self.crop_height, self.crop_width)
+        left, right, disp = arrays[:3]
         valid = ((disp > 0) & (disp < self.max_disp)).astype(np.float32)
-        return {
+        sample = {
             "left": left.astype(np.float32),
             "right": right.astype(np.float32),
             "disparity": disp.astype(np.float32),
             "valid": valid,
         }
+        if self.left_right:
+            disp_r = arrays[3]
+            sample["disparity_right"] = disp_r.astype(np.float32)
+            sample["valid_right"] = (
+                (disp_r > 0) & (disp_r < self.max_disp)
+            ).astype(np.float32)
+        return sample
 
 
 @dataclasses.dataclass
@@ -199,6 +217,7 @@ class SyntheticStereoDataset:
     num_layers: int = 3
     seed: int = 0
     training: bool = True
+    left_right: bool = False  # also emit right-view GT (see StereoDataset)
 
     def __len__(self) -> int:
         return self.length
@@ -242,12 +261,26 @@ class SyntheticStereoDataset:
         left = wide_left[:, :W]
         disp = disp_wide[:, :W]
         valid = ((disp > 0) & (disp < self.max_disp)).astype(np.float32)
-        return {
+        sample = {
             "left": left,
             "right": right,
             "disparity": disp,
             "valid": valid,
         }
+        if self.left_right:
+            # Right-view GT sampled with the same warp as the right image
+            # (exact for these fronto-parallel layers).
+            disp_r = np.empty((H, W), np.float32)
+            for y in range(H):
+                src = np.clip(
+                    xs + disp_wide[y, :W].astype(np.int32), 0, W + pad - 1
+                )
+                disp_r[y] = disp_wide[y, src]
+            sample["disparity_right"] = disp_r
+            sample["valid_right"] = (
+                (disp_r > 0) & (disp_r < self.max_disp)
+            ).astype(np.float32)
+        return sample
 
 
 def get_training_set(cfg_data, max_disp: int):
@@ -258,6 +291,7 @@ def get_training_set(cfg_data, max_disp: int):
             crop_width=cfg_data.crop_width,
             max_disp=max_disp,
             training=True,
+            left_right=cfg_data.left_right,
         )
     return StereoDataset(
         data_path=cfg_data.data_path,
@@ -267,6 +301,7 @@ def get_training_set(cfg_data, max_disp: int):
         kind=cfg_data.kind,
         training=True,
         max_disp=max_disp,
+        left_right=cfg_data.left_right,
     )
 
 

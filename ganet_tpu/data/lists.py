@@ -29,6 +29,9 @@ class SamplePaths:
     left: str
     right: str
     disparity: str
+    # Right-view ground truth (reference --left_right; SceneFlow only —
+    # KITTI publishes no right-view disparity).  None when unavailable.
+    disparity_right: str = ""
 
 
 def read_list(path: str) -> List[str]:
@@ -46,7 +49,8 @@ def derive_paths(data_path: str, line: str, kind: str) -> SamplePaths:
             "frames_cleanpass", "disparity"
         )
         disp = os.path.splitext(disp)[0] + ".pfm"
-        return SamplePaths(left, right, disp)
+        disp_right = disp.replace("/left/", "/right/")
+        return SamplePaths(left, right, disp, disp_right)
     if kind == "kitti2015":
         return SamplePaths(
             os.path.join(data_path, "image_2", line),

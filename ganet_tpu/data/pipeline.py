@@ -62,10 +62,10 @@ class BatchIterator:
             n += 1
         return n
 
-    def _epoch_indices(self) -> np.ndarray:
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            rng = np.random.default_rng(self.seed * 1000003 + self.epoch)
+            rng = np.random.default_rng(self.seed * 1000003 + epoch)
             rng.shuffle(idx)
         return idx
 
@@ -75,48 +75,91 @@ class BatchIterator:
             k: np.stack([s[k] for s in samples], axis=0) for k in samples[0]
         }
 
-    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        idx = self._epoch_indices()
+    def _batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._epoch_indices(epoch)
         nb = len(self)
         for b in range(nb):
             global_slice = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            pad = 0
             if len(global_slice) < self.batch_size:
                 if self.drop_remainder:
                     return
                 # wrap-pad the final partial batch
                 pad = self.batch_size - len(global_slice)
                 global_slice = np.concatenate([global_slice, idx[:pad]])
-            local = global_slice[
-                self.process_index * self.local_batch : (self.process_index + 1)
-                * self.local_batch
-            ]
-            yield self._assemble(local)
-        self.epoch += 1
+            sl = slice(
+                self.process_index * self.local_batch,
+                (self.process_index + 1) * self.local_batch,
+            )
+            batch = self._assemble(global_slice[sl])
+            if pad:
+                # Zero the valid mask of wrap-padded duplicates so
+                # pixel-weighted evaluation does not double-count them.
+                pad_flags = np.zeros(self.batch_size, bool)
+                pad_flags[-pad:] = True
+                local_flags = pad_flags[sl]
+                for k in ("valid", "valid_right"):
+                    if k in batch and local_flags.any():
+                        batch[k] = batch[k] * (
+                            ~local_flags[:, None, None]
+                        ).astype(batch[k].dtype)
+            yield batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        # Advance the shuffle epoch up front so a consumer that breaks out
+        # early (e.g. Trainer.fit at steps_per_epoch) still gets a fresh
+        # permutation on the next pass.
+        epoch = self.epoch
+        self.epoch += 1
         if self.prefetch <= 0:
-            yield from self._batches()
+            yield from self._batches(epoch)
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         err: list = []
 
         def producer():
             try:
-                for batch in self._batches():
-                    q.put(batch)
+                for batch in self._batches(epoch):
+                    # Bounded put that re-checks the stop flag so an
+                    # abandoned iterator cannot leak a thread blocked on a
+                    # full queue forever.
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface worker errors to consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                try:
+                    q.put_nowait(sentinel)
+                except queue.Full:
+                    pass
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+            t.join()
+            if err:
+                raise err[0]
+        finally:
+            # Runs on normal completion AND on GeneratorExit (consumer broke
+            # out / iterator was garbage-collected): unblock and reap the
+            # producer thread.
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)

@@ -16,24 +16,30 @@ either the lax.scan oracle or the Pallas kernels (ops/dispatch.py).
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from ganet_tpu.config import ModelConfig
 from ganet_tpu.models.layers import BasicConv, Conv2x, channel_schedule
 from ganet_tpu.ops import dispatch
 from ganet_tpu.ops.disparity import disparity_regression, trilinear_upsample
-from ganet_tpu.ops.normalize import l1_normalize
+from ganet_tpu.ops.normalize import l1_normalize, normalize_weights
+from ganet_tpu.parallel.mesh import constrain_volume
 
 
 class SGABlock(nn.Module):
-    """SGA + BN/refine conv + residual ReLU (reference SGABlock)."""
+    """SGA + BN/refine conv + residual ReLU (reference SGABlock).
+
+    With a mesh whose 'space' axis is >1, the SGA op runs as the
+    wavefront-pipelined cross-shard sweep (parallel/sharded_sga.py)."""
 
     channels: int
     cfg: ModelConfig
     refine: bool = True
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(
@@ -50,11 +56,13 @@ class SGABlock(nn.Module):
         rem = x
         B, H, W = g.shape[0], g.shape[1], g.shape[2]
         # Packing: head emits (dir, weight, channel) fastest-last; regroup to
-        # (B, H, W, C, 4, 5) and L1-normalize the 5-weight sets.
+        # (B, H, W, C, 4, 5) and normalize the 5-weight sets (l1 | softmax,
+        # cfg.sga_norm — see ops/normalize.py for the open reference
+        # question).
         k = g.reshape(B, H, W, 4, 5, C)
         k = jnp.moveaxis(k, -1, 3)  # (B, H, W, C, 4, 5)
-        k = l1_normalize(k, axis=-1)
-        x = dispatch.sga(x, k, impl=cfg.sga_impl)
+        k = normalize_weights(k, cfg.sga_norm, axis=-1)
+        x = dispatch.sga(x, k, impl=cfg.sga_impl, mesh=self.mesh)
         if self.refine:
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5
@@ -138,6 +146,7 @@ class DispAggHead(nn.Module):
 
 class CostAggregation(nn.Module):
     cfg: ModelConfig
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(
@@ -165,23 +174,33 @@ class CostAggregation(nn.Module):
         def maybe_sga_full(x):
             nonlocal full_i
             if full_i < len(sg_full):
-                x = SGABlock(chans[0], cfg, name=f"sga_full{full_i}")(
-                    x, sg_full[full_i], train
-                )
+                x = SGABlock(
+                    chans[0], cfg, mesh=self.mesh, name=f"sga_full{full_i}"
+                )(x, sg_full[full_i], train)
                 full_i += 1
+                # Back to the conv-phase layout (disp re-sharded over
+                # 'disp') after the sweep phase, per SURVEY.md §5: sweeps
+                # keep D local, convs shard it.
+                x = constrain_volume(x, self.mesh)
             return x
 
         def maybe_sga_half(x):
             nonlocal half_i
             if half_i < len(sg_half):
-                x = SGABlock(chans[1], cfg, name=f"sga_half{half_i}")(
-                    x, sg_half[half_i], train
-                )
+                x = SGABlock(
+                    chans[1], cfg, mesh=self.mesh, name=f"sga_half{half_i}"
+                )(x, sg_half[half_i], train)
                 half_i += 1
+                x = constrain_volume(x, self.mesh)
             return x
 
         outputs: List[jnp.ndarray] = []
 
+        # Conv-phase sharding of the cost volume: batch over 'data',
+        # disparity over 'disp', height over 'space' (SURVEY.md §5 — the
+        # 3D convs shard D with kd=3 halo exchange handled by GSPMD; the
+        # SGA shard_map re-shards to D-local around the sweeps).
+        cv = constrain_volume(cv, self.mesh)
         x = conv3(C, relu=False)(cv, train)
         x = maybe_sga_full(x)
         if train:

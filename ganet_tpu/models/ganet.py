@@ -22,10 +22,11 @@ Train mode returns `agg_cycles + 1` disparity maps for deep supervision
 
 from __future__ import annotations
 
-from typing import List, Union
+from typing import List, Optional, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from ganet_tpu.config import ModelConfig
 from ganet_tpu.models.aggregation import CostAggregation
@@ -36,7 +37,13 @@ from ganet_tpu.ops.cost_volume import build_cost_volume
 
 
 class GANet(nn.Module):
+    """cfg: architecture preset.  mesh: optional (data, space, disp) device
+    mesh — when given, the cost-aggregation stage runs spatially sharded
+    (wavefront cross-shard SGA sweeps, disp-sharded convs); without it the
+    model is mesh-agnostic and GSPMD handles any ambient sharding."""
+
     cfg: ModelConfig
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(
@@ -77,7 +84,9 @@ class GANet(nn.Module):
 
         cv = build_cost_volume(f_left, f_right, cfg.disp_channels)
 
-        outputs = CostAggregation(cfg, name="cost_agg")(cv, guidance, train)
+        outputs = CostAggregation(cfg, mesh=self.mesh, name="cost_agg")(
+            cv, guidance, train
+        )
         if train:
             return outputs
         return outputs[-1]

@@ -23,23 +23,34 @@ Dtype = Any
 
 
 def conv3d_via_2d(
-    x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    stride: int = 1,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """3D 'SAME' convolution decomposed into kd batched 2D convolutions.
 
-    XLA's native 3-spatial-dim convolution reaches only a few percent of
-    MXU peak at this model's shapes (measured 26.4 ms for 3x3x3 64->32 on
-    a (64,192,320) volume); folding the disparity axis into the conv batch
-    and summing over the kd depth taps is mathematically identical and
-    ~1.6x faster (16.6 ms).  Matches XLA 'SAME' padding exactly (low-side
-    pad = pad_total//2) so it is interchangeable with lax.conv.
+    XLA's native 3-spatial-dim convolution reaches only ~16 TFLOP/s at this
+    model's stride-1 shapes (26.4 ms for 3x3x3 64->32 on a (64,192,320)
+    volume); folding the disparity axis into the conv batch and summing
+    over the kd depth taps is mathematically identical and reaches
+    ~27-31 TFLOP/s (14-16 ms; scripts/bench_conv3d.py).  STRIDE-2 inverts
+    this: the strided D-slices defeat XLA's fusion and the decomposition
+    runs 3x SLOWER than the native conv (23.4 vs 7.8 ms) — callers must
+    route stride>1 to lax.conv directly (FastConv3d below does).
+
+    Matches XLA 'SAME' padding exactly (low-side pad = pad_total//2) so it
+    is interchangeable with lax.conv.
 
     Args:
       x: (B, D, H, W, Cin).
       kernel: (kd, kh, kw, Cin, Cout) — DHWIO, the nn.Conv layout.
       stride: common stride for all three spatial dims (1 or 2).
+      out_dtype: per-tap conv output dtype (MXU accumulation is f32
+        regardless); bf16 halves the inter-tap HBM traffic and measures
+        ~15% faster end-to-end at bf16 model dtype.  Defaults to f32.
     Returns:
-      (B, D', H', W', Cout) in float32 (accumulation dtype).
+      (B, D', H', W', Cout) in `out_dtype`.
     """
     B, D, H, W, Cin = x.shape
     kd = kernel.shape[0]
@@ -57,7 +68,7 @@ def conv3d_via_2d(
             (stride, stride),
             "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=out_dtype or jnp.float32,
         )
         out = o if out is None else out + o
     Ho, Wo = out.shape[1], out.shape[2]
@@ -84,9 +95,21 @@ class FastConv3d(nn.Module):
             (k, k, k, x.shape[-1], self.features),
             jnp.float32,
         )
-        y = conv3d_via_2d(
-            x.astype(self.dtype), kernel.astype(self.dtype), self.stride
-        )
+        xc = x.astype(self.dtype)
+        kc = kernel.astype(self.dtype)
+        if self.stride > 1:
+            # Strided: the 2D decomposition is 3x slower than XLA's native
+            # conv here (scripts/bench_conv3d.py) — use the native path.
+            y = lax.conv_general_dilated(
+                xc,
+                kc,
+                (self.stride,) * 3,
+                "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=self.dtype,
+            )
+        else:
+            y = conv3d_via_2d(xc, kc, self.stride, out_dtype=self.dtype)
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32

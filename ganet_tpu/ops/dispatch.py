@@ -35,8 +35,36 @@ def resolve_impl(impl: str) -> str:
     return impl
 
 
-def sga(x: jnp.ndarray, weights: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
+def sga(
+    x: jnp.ndarray,
+    weights: jnp.ndarray,
+    impl: str = "auto",
+    mesh=None,
+    space_axis: str = "space",
+    batch_axis: str = "data",
+    chunks: int = 0,
+) -> jnp.ndarray:
+    """SGA with implementation + distribution dispatch.
+
+    When `mesh` is given and its `space_axis` has more than one shard, the
+    op routes through the wavefront-pipelined cross-shard sweep
+    (parallel/sharded_sga.py — the cost-volume sequence-parallel path,
+    BASELINE.json config #5) instead of leaving GSPMD to all-gather around
+    the scan.
+    """
     impl = resolve_impl(impl)
+    if mesh is not None and mesh.shape.get(space_axis, 1) > 1:
+        from ganet_tpu.parallel.sharded_sga import sharded_sga
+
+        return sharded_sga(
+            x,
+            weights,
+            mesh,
+            axis_name=space_axis,
+            chunks=chunks,
+            batch_axis=batch_axis if mesh.shape.get(batch_axis, 1) > 1 else None,
+            impl=impl,
+        )
     if impl == "pallas":
         from ganet_tpu.ops import sga_pallas  # deferred: optional path
 

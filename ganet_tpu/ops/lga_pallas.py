@@ -47,6 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HALO_H = 8    # sublane tile
 _HALO_W = 128  # lane tile
+_LANES_W = 128  # lane-tile width (v2 pads full rows to this multiple)
 
 
 def _interpret() -> bool:
@@ -101,7 +102,127 @@ def _pad_tiles(a, Ht, Wt):
 
 
 # ---------------------------------------------------------------------------
-# forward
+# forward (v2: full-width rows, lane rolls for W shifts, Dt-blocked D)
+# ---------------------------------------------------------------------------
+#
+# v1 (kept for the backward pass below) tiled W at 512 with a 128-lane halo
+# on both sides, so every one of the 75 stencil taps was a lane-misaligned
+# VMEM slice — measured 20.6 ms per full-res pass (~6x its VPU/HBM bound).
+# v2 processes FULL padded-W rows (the W pad is >= r zeros on each side),
+# turning the five W offsets into five whole-row lane rolls shared across
+# the five H offsets (sublane slices, cheap) and across a Dt-block of
+# disparities; the per-(b, h)-tile guidance stays resident across the whole
+# D loop.  HBM traffic ~1.1x the volume, vector work ~75 FMA + ~4 roll
+# ops per element.
+
+
+def _make_fwd_kernel_v2(K: int, Dt: int, Ht: int, Wk: int, nD: int):
+    r = (K - 1) // 2
+    wh = Ht + 2 * _HALO_H
+
+    def kernel(xp_ref, gp_ref, o_ref, xwin, gwin, sems):
+        """xp (B, Dp+2, Hp+16, Wk) HBM; gp (B, 75, Hp, Wk) HBM;
+        o (1, Dt, Ht, Wk) VMEM block; xwin (2, Dt+2, wh, Wk) double-buffered
+        window; gwin (75, Ht, Wk) guidance resident across the D grid."""
+        b = pl.program_id(0)
+        h = pl.program_id(1)
+        dc = pl.program_id(2)
+
+        def fetch(slot, chunk):
+            return pltpu.make_async_copy(
+                xp_ref.at[b, pl.ds(chunk * Dt, Dt + 2), pl.ds(h * Ht, wh), :],
+                xwin.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(dc == 0)
+        def _():
+            fetch(0, 0).start()
+            gcp = pltpu.make_async_copy(
+                gp_ref.at[b, :, pl.ds(h * Ht, Ht), :], gwin, sems.at[2]
+            )
+            gcp.start()
+            gcp.wait()
+
+        fetch(dc % 2, dc).wait()
+
+        @pl.when(dc + 1 < nD)
+        def _():
+            fetch((dc + 1) % 2, dc + 1).start()
+
+        buf = xwin[dc % 2]  # (Dt+2, wh, Wk)
+        f32 = jnp.float32
+        for dl in range(Dt):
+            acc = jnp.zeros((Ht, Wk), f32)
+            # filter k: 0 -> same d (padded slice dl+1), 1 -> d-1 (dl),
+            # 2 -> d+1 (dl+2); guidance channels (k, dy, dx) row-major.
+            for k, off in ((0, 1), (1, 0), (2, 2)):
+                sl = buf[dl + off].astype(f32)  # (wh, Wk)
+                for ix in range(K):
+                    s = ix - r  # out(w) consumes x(w + s)
+                    rolled = sl if s == 0 else pltpu.roll(sl, (-s) % Wk, 1)
+                    for iy in range(K):
+                        oy = _HALO_H + iy - r
+                        gch = gwin[k * K * K + iy * K + ix].astype(f32)
+                        acc = acc + gch * rolled[oy : oy + Ht, :]
+            o_ref[0, dl] = acc.astype(o_ref.dtype)
+
+    return kernel
+
+
+def _lga_once(x: jnp.ndarray, g75: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """x (B, D, H, W), g75 (B, 75, H, W) pre-normalized -> (B, D, H, W)."""
+    B, D, H, W = x.shape
+    K = 2 * radius + 1
+    r = radius
+    # bf16 halves the window/guidance footprint: bigger H tiles.
+    itemsize = jnp.dtype(x.dtype).itemsize
+    Ht = 32 if itemsize <= 2 else 16
+    Dt = 8
+    Wk = _round_up(W + 2 * r, _LANES_W)
+    Hp = _round_up(H, Ht)
+    Dp = _round_up(D, Dt)
+    nD = Dp // Dt
+    # W data sits at lane offset r with >= r zeros on BOTH sides, so the
+    # whole-row lane rolls wrap zeros into the active region, matching the
+    # oracle's zero boundary.
+    xp = jnp.pad(
+        x,
+        (
+            (0, 0),
+            (1, Dp - D + 1),
+            (_HALO_H, Hp - H + _HALO_H),
+            (r, Wk - W - r),
+        ),
+    )
+    gp = jnp.pad(g75, ((0, 0), (0, 0), (0, Hp - H), (r, Wk - W - r)))
+
+    grid = (B, Hp // Ht, nD)
+    out = pl.pallas_call(
+        _make_fwd_kernel_v2(K, Dt, Ht, Wk, nD),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xp: manual window DMA
+            pl.BlockSpec(memory_space=pltpu.ANY),  # gp: manual, d-resident
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Dt, Ht, Wk),
+            lambda b, h, d: (b, d, h, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Dp, Hp, Wk), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, Dt + 2, Ht + 2 * _HALO_H, Wk), x.dtype),
+            pltpu.VMEM((3 * K * K, Ht, Wk), g75.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=_interpret(),
+    )(xp, gp)
+    return out[:, :D, :H, r : r + W]
+
+
+# ---------------------------------------------------------------------------
+# forward (v1 geometry — retained for reference/backward symmetry)
 # ---------------------------------------------------------------------------
 
 
@@ -162,8 +283,9 @@ def _make_fwd_kernel(K: int, Ht: int, Wt: int, D: int):
     return kernel
 
 
-def _lga_once(x: jnp.ndarray, g75: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """x (B, D, H, W), g75 (B, 75, H, W) pre-normalized -> (B, D, H, W)."""
+def _lga_once_v1(x: jnp.ndarray, g75: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """v1 forward (halo-window tiles) — superseded by _lga_once; kept as a
+    cross-check surface for the kernel tests."""
     B, D, H, W = x.shape
     K = 2 * radius + 1
     Ht, Wt = _pick_tiles(H, W, max_wt=512)

@@ -52,6 +52,26 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", "space"))
 
 
+def volume_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, D, H, W, C) cost volumes in the conv phase: batch over 'data',
+    disparity over 'disp', height over 'space' (SURVEY.md §5)."""
+    return NamedSharding(mesh, P("data", "disp", "space"))
+
+
+def constrain_volume(x, mesh: Optional[Mesh]):
+    """with_sharding_constraint to the conv-phase volume layout (no-op
+    without a mesh or when the volume axes don't divide the mesh)."""
+    if mesh is None:
+        return x
+    if (
+        x.shape[0] % mesh.shape["data"]
+        or x.shape[1] % mesh.shape["disp"]
+        or x.shape[2] % mesh.shape["space"]
+    ):
+        return x
+    return jax.lax.with_sharding_constraint(x, volume_sharding(mesh))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -35,6 +35,16 @@ from ganet_tpu.ops.normalize import l1_normalize
 from ganet_tpu.ops.sga import sga_sweep as _sweep
 
 
+def _local_horizontal_sweep(x, w, reverse: bool, impl: str):
+    """Along-W sweep of the local block — no cross-shard dependency, so the
+    Pallas kernel can run as-is inside shard_map (impl='pallas')."""
+    if impl == "pallas":
+        from ganet_tpu.ops import sga_pallas
+
+        return sga_pallas.sga_sweep(x, w, "w", reverse)
+    return _sweep(x, w, "w", reverse)
+
+
 def _pipelined_vertical_sweep(
     x, w, reverse: bool, axis_name: str, chunks: int = 0
 ):
@@ -110,11 +120,19 @@ def _pipelined_vertical_sweep(
     return result
 
 
-def _sharded_sga_local(x, w, axis_name: str, chunks: int = 0):
+def _sharded_sga_local(
+    x, w, axis_name: str, chunks: int = 0, impl: str = "scan"
+):
     """Full SGA on an H-sharded local block: 2 local horizontal sweeps, 2
-    pipelined vertical sweeps, max fusion."""
-    out_lr = _sweep(x, w[..., 0, :], "w", False)
-    out_rl = _sweep(x, w[..., 1, :], "w", True)
+    pipelined vertical sweeps, max fusion.
+
+    impl='pallas' runs the horizontal sweeps through the Pallas kernel
+    (they are shard-local); the vertical wavefront keeps the scan
+    formulation, whose seeded boundary condition the Pallas kernel does
+    not (yet) support.
+    """
+    out_lr = _local_horizontal_sweep(x, w[..., 0, :], False, impl)
+    out_rl = _local_horizontal_sweep(x, w[..., 1, :], True, impl)
     out_tb = _pipelined_vertical_sweep(x, w[..., 2, :], False, axis_name, chunks)
     out_bt = _pipelined_vertical_sweep(x, w[..., 3, :], True, axis_name, chunks)
     return jnp.maximum(
@@ -128,6 +146,8 @@ def sharded_sga(
     mesh: Mesh,
     axis_name: str = "space",
     chunks: int = 0,
+    batch_axis: Optional[str] = None,
+    impl: str = "scan",
 ) -> jnp.ndarray:
     """SGA over a cost volume sharded along H on `axis_name`.
 
@@ -135,13 +155,19 @@ def sharded_sga(
     (B, H, W, C, 4, 5) L1-normalized by the caller.  H must be divisible
     by the shard count.  `chunks` sets the W-chunk count of the vertical
     wavefront pipeline (0 = auto: ~4x the shard count, lane-aligned).
+    `batch_axis` additionally shards the batch dim (the model path passes
+    'data' so the global batch stays data-parallel through the shard_map
+    instead of being gathered).  `impl` selects the local sweep kernel
+    ('scan' oracle or 'pallas' for the horizontal sweeps).
     """
     if weights.shape[-2:] != (4, 5):
         raise ValueError(f"weights must end in (4, 5), got {weights.shape}")
-    spec_x = P(None, None, axis_name, None, None)
-    spec_w = P(None, axis_name, None, None, None, None)
+    spec_x = P(batch_axis, None, axis_name, None, None)
+    spec_w = P(batch_axis, axis_name, None, None, None, None)
     fn = shard_map(
-        functools.partial(_sharded_sga_local, axis_name=axis_name, chunks=chunks),
+        functools.partial(
+            _sharded_sga_local, axis_name=axis_name, chunks=chunks, impl=impl
+        ),
         mesh=mesh,
         in_specs=(spec_x, spec_w),
         out_specs=spec_x,

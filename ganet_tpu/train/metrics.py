@@ -31,4 +31,7 @@ def disparity_metrics(
         "rate_3px": masked_rate(err > 3.0),
         "d1_all": masked_rate(d1),
         "valid_frac": jnp.mean(valid),
+        # Valid-pixel count: lets callers aggregate pixel-weighted means
+        # across batches of unequal valid coverage (Trainer.evaluate).
+        "valid_px": jnp.sum(valid),
     }

@@ -38,11 +38,17 @@ def make_optimizer(
 
 
 def create_train_state(
-    cfg: TrainConfig, rng: jax.Array, steps_per_epoch: Optional[int] = None
+    cfg: TrainConfig,
+    rng: jax.Array,
+    steps_per_epoch: Optional[int] = None,
+    mesh=None,
 ) -> TrainState:
     """Initialize model variables and optimizer state on small dummy input
-    of the configured crop size."""
-    model = GANet(cfg.model)
+    of the configured crop size.
+
+    `mesh` routes the model's SGA through the cross-shard wavefront
+    pipeline when its 'space' axis is >1 (see models/ganet.py)."""
+    model = GANet(cfg.model, mesh=mesh)
     B = max(1, cfg.batch_size // jax.process_count())
     dummy = jnp.zeros(
         (B, cfg.data.crop_height, cfg.data.crop_width, 3), jnp.float32

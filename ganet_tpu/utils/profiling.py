@@ -70,8 +70,14 @@ def benchmark_fn_chained(
         def body(_, carry):
             out = fn(carry, *rest)
             # Data dependency that cannot be folded away but leaves the
-            # input numerically unchanged at f32 precision.
-            return carry + 1e-30 * jnp.mean(out)
+            # input numerically unchanged at f32/bf16 precision.  Reduce in
+            # f32 and cast the probe to the carry dtype so mixed-dtype
+            # stages (bf16 carry, f32 output or vice versa) keep the
+            # fori_loop carry type stable.
+            probe = jnp.asarray(0.0, jnp.float32)
+            for leaf in jax.tree_util.tree_leaves(out):
+                probe = probe + jnp.mean(leaf).astype(jnp.float32)
+            return carry + (1e-30 * probe).astype(carry.dtype)
 
         return lax.fori_loop(0, iters, body, x)
 

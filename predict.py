@@ -18,6 +18,25 @@ import os
 import numpy as np
 
 
+def output_names(entries):
+    """Collision-free output PNG names for a list of dataset entries.
+
+    KITTI lists have unique basenames (the submission layout keeps them);
+    SceneFlow-style nested lists repeat basenames across scenes
+    (.../left/0006.png), so those flatten the relative path into the name.
+    """
+    base = [os.path.basename(e) for e in entries]
+    names = (
+        base
+        if len(set(base)) == len(base)
+        else [e.strip("/").replace("/", "_") for e in entries]
+    )
+    return [
+        n if n.lower().endswith(".png") else os.path.splitext(n)[0] + ".png"
+        for n in names
+    ]
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="GANet TPU inference")
     p.add_argument("--crop_height", type=int, default=384)
@@ -104,7 +123,7 @@ def main(argv=None):
             training=False,
             max_disp=args.max_disp,
         )
-        names = [os.path.basename(e) for e in ds.entries]
+        names = output_names(ds.entries)
         sizes = [ds.original_size(i) for i in range(len(ds))]
 
     for i in range(len(ds)):

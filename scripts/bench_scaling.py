@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Scaling-efficiency harness (BASELINE target: >=80% frames/s scaling).
+
+Sweeps device-mesh shapes, runs the jitted SPMD train step per shape, and
+reports pairs/s/chip plus efficiency vs the 1-chip run as JSON lines.
+
+On this box there is one real TPU chip, so multi-chip numbers come from the
+faked CPU mesh (plumbing/comms-graph validation — timing is meaningless on
+CPU but the harness is pod-ready: on a real slice run
+
+    python scripts/bench_scaling.py --meshes 1,1,1 2,1,1 4,1,1 8,1,1 4,2,1
+
+and read pairs_per_s_per_chip / efficiency).
+
+Output: one JSON line per mesh shape + a trailing summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_mesh(s: str):
+    parts = [int(p) for p in s.replace("x", ",").split(",")]
+    while len(parts) < 3:
+        parts.append(1)
+    return tuple(parts[:3])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--meshes",
+        nargs="+",
+        default=["1,1,1", "2,1,1", "4,1,1", "8,1,1", "2,4,1", "2,2,2"],
+        help="data,space,disp mesh shapes to sweep",
+    )
+    p.add_argument("--model", default="GANet_small")
+    p.add_argument("--crop_height", type=int, default=48)
+    p.add_argument("--crop_width", type=int, default=96)
+    p.add_argument("--max_disp", type=int, default=24)
+    p.add_argument("--batch_per_chip", type=int, default=1)
+    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--force_cpu_devices", type=int, default=0,
+                   help="fake N CPU devices (set automatically when the "
+                        "largest mesh exceeds the real device count)")
+    args = p.parse_args(argv)
+
+    meshes = [parse_mesh(m) for m in args.meshes]
+    need = max(a * b * c for a, b, c in meshes)
+
+    # Decide the platform BEFORE importing jax: fake a CPU mesh when the
+    # sweep needs more chips than the machine has.
+    import importlib
+
+    if args.force_cpu_devices or need > 1:
+        try:
+            import jax as _probe  # noqa
+
+            real = _probe.device_count()
+        except Exception:
+            real = 1
+        if args.force_cpu_devices or need > real:
+            n = args.force_cpu_devices or need
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={n}"
+                ).strip()
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import numpy as np
+
+    from ganet_tpu.config import (
+        DataConfig,
+        MeshConfig,
+        TrainConfig,
+        model_config,
+    )
+    from ganet_tpu.data.dataset import SyntheticStereoDataset
+    from ganet_tpu.parallel.mesh import make_mesh, shard_batch
+    from ganet_tpu.train.state import create_train_state
+    from ganet_tpu.train.trainer import make_train_step
+
+    backend = jax.default_backend()
+    results = []
+    base_per_chip = None
+
+    for data_ax, space_ax, disp_ax in meshes:
+        n = data_ax * space_ax * disp_ax
+        if n > jax.device_count():
+            print(
+                json.dumps({"mesh": [data_ax, space_ax, disp_ax],
+                            "skipped": f"needs {n} devices"}),
+                flush=True,
+            )
+            continue
+        mesh_cfg = MeshConfig(data=data_ax, space=space_ax, disp=disp_ax)
+        batch = args.batch_per_chip * data_ax
+        cfg = TrainConfig(
+            model=model_config(args.model, max_disp=args.max_disp,
+                               sga_impl="auto"),
+            data=DataConfig(
+                crop_height=args.crop_height,
+                crop_width=args.crop_width,
+                kind="synthetic",
+            ),
+            mesh=mesh_cfg,
+            batch_size=batch,
+            save_path="/tmp/ganet_scaling",
+        )
+        mesh = make_mesh(mesh_cfg)
+        ds = SyntheticStereoDataset(
+            crop_height=args.crop_height,
+            crop_width=args.crop_width,
+            max_disp=args.max_disp,
+        )
+        host_batch = {
+            k: np.stack([ds[i][k] for i in range(batch)]) for k in ds[0]
+        }
+        with mesh:
+            state = create_train_state(cfg, jax.random.PRNGKey(0), mesh=mesh)
+        step_fn = make_train_step(cfg, mesh)
+        dev_batch = shard_batch(mesh, host_batch)
+
+        for _ in range(args.warmup):
+            state, metrics = step_fn(state, dev_batch)
+            # donated argument: re-put the batch each step is not needed
+            # (batch arg is not donated), state threads through.
+        jax.block_until_ready(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, metrics = step_fn(state, dev_batch)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+
+        pairs_per_s = batch * args.steps / dt
+        per_chip = pairs_per_s / n
+        if base_per_chip is None and n == 1:
+            base_per_chip = per_chip
+        eff = per_chip / base_per_chip if base_per_chip else None
+        rec = {
+            "mesh": [data_ax, space_ax, disp_ax],
+            "devices": n,
+            "backend": backend,
+            "global_batch": batch,
+            "pairs_per_s": round(pairs_per_s, 4),
+            "pairs_per_s_per_chip": round(per_chip, 4),
+            "efficiency_vs_1chip": round(eff, 4) if eff else None,
+            "loss": float(metrics["loss"]),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    print(
+        json.dumps(
+            {
+                "summary": "scaling_sweep",
+                "backend": backend,
+                "note": (
+                    "CPU-mesh timings validate plumbing only; run on a pod "
+                    "slice for real efficiency numbers"
+                    if backend == "cpu"
+                    else "real-device timings"
+                ),
+                "meshes_run": [r["mesh"] for r in results],
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

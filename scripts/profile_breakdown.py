@@ -52,9 +52,14 @@ def main(argv=None):
         jax.random.uniform(ks[1], (1, H3, W3, C_full, 4, 5), jnp.float32),
         axis=-1,
     ).astype(dtype)
+    # NOTE: every big tensor a stage needs rides as an explicit argument
+    # (the *rest of benchmark_fn_chained), NOT a closure: closed-over arrays
+    # embed as HLO constants and blow past the remote-compile relay's
+    # request-size limit at these shapes (observed HTTP 413).
     stages["sga_full(x1)"] = (
-        lambda x: dispatch.sga(x, w_full, impl="pallas"),
+        lambda x, w: dispatch.sga(x, w, impl="pallas"),
         x_full,
+        w_full,
     )
     x_half = jax.random.normal(
         ks[2], (1, D3 // 2, H3 // 2, W3 // 2, C_half), dtype
@@ -66,8 +71,9 @@ def main(argv=None):
         axis=-1,
     ).astype(dtype)
     stages["sga_half(x1)"] = (
-        lambda x: dispatch.sga(x, w_half, impl="pallas"),
+        lambda x, w: dispatch.sga(x, w, impl="pallas"),
         x_half,
+        w_half,
     )
 
     # --- LGA at full image resolution (DispAgg head: 2 apps x 2 repeats) -
@@ -76,8 +82,9 @@ def main(argv=None):
         jax.random.uniform(ks[5], (1, H, W, 75), jnp.float32), axis=-1
     )
     stages["lga_full(x1)"] = (
-        lambda x: dispatch.lga(x, g_lga, radius=2, repeats=1, impl="pallas"),
+        lambda x, g: dispatch.lga(x, g, radius=2, repeats=1, impl="pallas"),
         x_lga,
+        g_lga,
     )
 
     # --- trilinear upsample + softmax + regression (per head) ------------
@@ -100,16 +107,18 @@ def main(argv=None):
     cvars = conv.init(key, cv0)
 
     stages["conv3d_64to32_fullres_decomposed(x1)"] = (
-        lambda x: conv.apply(cvars, x),
+        lambda x, v: conv.apply(v, x),
         cv0,
+        cvars,
     )
 
     # --- cost volume -------------------------------------------------------
     f_l = jax.random.normal(ks[0], (1, H3, W3, C_full), dtype)
     f_r = jax.random.normal(ks[1], (1, H3, W3, C_full), dtype)
     stages["cost_volume"] = (
-        lambda x: build_cost_volume(x, f_r, D3),
+        lambda x, r: build_cost_volume(x, r, D3),
         f_l,
+        f_r,
     )
 
     # --- feature + guidance nets ------------------------------------------
@@ -122,20 +131,21 @@ def main(argv=None):
     fnet = FeatureNet(cfg)
     fvars = jax.jit(lambda k: fnet.init(k, img, False))(key)
     stages["feature_net(both views)"] = (
-        lambda x: fnet.apply(fvars, x, False),
+        lambda x, v: fnet.apply(v, x, False),
         img,
+        fvars,
     )
 
     gnet = GuidanceNet(cfg)
     img1 = img[:1]
     feat1 = jax.random.normal(ks[3], (1, H3, W3, C_full), dtype)
     gvars = jax.jit(lambda k: gnet.init(k, img1, feat1, False))(key)
-    def guidance_all(x):
+    def guidance_all(x, v, f):
         # Sum over every output head so none is dead-code-eliminated.
-        leaves = jax.tree_util.tree_leaves(gnet.apply(gvars, x, feat1, False))
+        leaves = jax.tree_util.tree_leaves(gnet.apply(v, x, f, False))
         return jnp.stack([jnp.mean(l.astype(jnp.float32)) for l in leaves])
 
-    stages["guidance_net"] = (guidance_all, img1)
+    stages["guidance_net"] = (guidance_all, img1, gvars, feat1)
 
     # --- whole cost-aggregation module (convs + SGA + heads) --------------
     from ganet_tpu.models.aggregation import CostAggregation, DispAggHead
@@ -158,24 +168,29 @@ def main(argv=None):
     }
     avars = jax.jit(lambda k: agg.init(k, cv_in, guid, False))(key)
     stages["cost_aggregation(module, eval)"] = (
-        lambda x: agg.apply(avars, x, guid, False)[-1],
+        lambda x, v, g: agg.apply(v, x, g, False)[-1],
         cv_in,
+        avars,
+        guid,
     )
 
     dah = DispAggHead(cfg)
     x_agg = jax.random.normal(ks[7], (1, D3, H3, W3, C_full), dtype)
     dvars = jax.jit(lambda k: dah.init(k, x_agg, guid["lg1"], guid["lg2"], False))(key)
     stages["dispagg_head(module, eval)"] = (
-        lambda x: dah.apply(dvars, x, guid["lg1"], guid["lg2"], False),
+        lambda x, v, l1, l2: dah.apply(v, x, l1, l2, False),
         x_agg,
+        dvars,
+        guid["lg1"],
+        guid["lg2"],
     )
 
     only = [s for s in args.only.split(",") if s]
-    for name, (fn, x) in stages.items():
+    for name, (fn, x, *rest) in stages.items():
         if only and not any(o in name for o in only):
             continue
         try:
-            sec = benchmark_fn_chained(fn, x, iters_low=2, iters_high=4)
+            sec = benchmark_fn_chained(fn, x, *rest, iters_low=2, iters_high=4)
             print(f"{name:42s} {sec * 1e3:9.2f} ms", flush=True)
         except Exception as e:  # keep going; report the failure
             print(f"{name:42s} FAILED: {type(e).__name__}: {e}", flush=True)

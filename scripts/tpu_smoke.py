@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Compiled-kernel smoke test on the real TPU chip (VERDICT round-1 #4).
+
+The CI suite runs the Pallas kernels in interpreter mode on CPU; this
+script runs the COMPILED Mosaic kernels on the actual chip and checks
+forward + VJP parity against the lax.scan/stencil oracles at a
+production-like (but quick) shape, in float32 and bfloat16.
+
+Exits nonzero on drift.  Run every round:  python scripts/tpu_smoke.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ganet_tpu.utils.platform import apply_platform_overrides, enable_compile_cache
+
+
+def main() -> int:
+    apply_platform_overrides()
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ganet_tpu.ops import l1_normalize
+    from ganet_tpu.ops import lga as lga_scan
+    from ganet_tpu.ops import lga_pallas, sga_pallas
+    from ganet_tpu.ops import sga as sga_scan_mod
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print(f"SKIP: backend is {jax.default_backend()}, not a TPU")
+        return 0
+
+    failures = []
+
+    def check(name, got, want, tol):
+        got = np.asarray(got, np.float32)
+        want = np.asarray(want, np.float32)
+        denom = np.maximum(np.abs(want), 1.0)
+        err = float(np.max(np.abs(got - want) / denom))
+        ok = err <= tol
+        print(f"{name:48s} max_rel_err={err:.3e}  {'ok' if ok else 'FAIL'}")
+        if not ok:
+            failures.append(name)
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+
+    # --- SGA: production-like 1/3-res block, reduced H/W for speed -------
+    B, D, H, W, C = 1, 64, 96, 160, 8
+    for dtype, tol_f, tol_g in ((jnp.float32, 2e-5, 2e-4), (jnp.bfloat16, 2e-2, 5e-2)):
+        dt = jnp.dtype(dtype).name
+        x = jax.random.normal(ks[0], (B, D, H, W, C), dtype)
+        w = l1_normalize(
+            jax.random.uniform(ks[1], (B, H, W, C, 4, 5), jnp.float32) + 0.1,
+            axis=-1,
+        ).astype(dtype)
+        want = jax.jit(sga_scan_mod.sga)(
+            x.astype(jnp.float32), w.astype(jnp.float32)
+        )
+        got = jax.jit(sga_pallas.sga)(x, w)
+        check(f"sga_fwd[{dt}]", got, want, tol_f)
+
+        def loss_p(a, b):
+            return jnp.sum(sga_pallas.sga(a, b).astype(jnp.float32) ** 2)
+
+        def loss_s(a, b):
+            return jnp.sum(sga_scan_mod.sga(a, b) ** 2)
+
+        gp = jax.jit(jax.grad(loss_p, argnums=(0, 1)))(x, w)
+        gs = jax.jit(jax.grad(loss_s, argnums=(0, 1)))(
+            x.astype(jnp.float32), w.astype(jnp.float32)
+        )
+        check(f"sga_vjp_dx[{dt}]", gp[0], gs[0], tol_g)
+        check(f"sga_vjp_dw[{dt}]", gp[1], gs[1], tol_g)
+
+    # --- LGA: full-res head filtering, reduced size -----------------------
+    B, D, H, W = 1, 48, 96, 256
+    for dtype, tol_f, tol_g in ((jnp.float32, 2e-5, 2e-4), (jnp.bfloat16, 2e-2, 5e-2)):
+        dt = jnp.dtype(dtype).name
+        x = jax.random.normal(ks[2], (B, D, H, W), dtype)
+        g = l1_normalize(
+            jax.random.uniform(ks[3], (B, H, W, 75), jnp.float32) + 0.1,
+            axis=-1,
+        ).astype(dtype)
+        want = jax.jit(lambda a, b: lga_scan(a, b, radius=2, repeats=1))(
+            x.astype(jnp.float32), g.astype(jnp.float32)
+        )
+        got = jax.jit(lambda a, b: lga_pallas.lga(a, b, radius=2, repeats=1))(x, g)
+        check(f"lga_fwd[{dt}]", got, want, tol_f)
+
+        def lossl_p(a, b):
+            return jnp.sum(lga_pallas.lga(a, b, radius=2).astype(jnp.float32) ** 2)
+
+        def lossl_s(a, b):
+            return jnp.sum(lga_scan(a, b, radius=2) ** 2)
+
+        gp = jax.jit(jax.grad(lossl_p, argnums=(0, 1)))(x, g)
+        gs = jax.jit(jax.grad(lossl_s, argnums=(0, 1)))(
+            x.astype(jnp.float32), g.astype(jnp.float32)
+        )
+        check(f"lga_vjp_dx[{dt}]", gp[0], gs[0], tol_g)
+        check(f"lga_vjp_dg[{dt}]", gp[1], gs[1], tol_g)
+
+    if failures:
+        print(f"\nFAILED: {len(failures)} check(s): {failures}")
+        return 1
+    print("\nall compiled-kernel checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -197,3 +197,84 @@ class TestBatchIterator:
         ds = SyntheticStereoDataset(length=8)
         with pytest.raises(ValueError, match="not divisible"):
             BatchIterator(ds, 3, process_count=2)
+
+    def test_early_break_reaps_prefetch_thread_and_advances_epoch(self):
+        import threading
+
+        ds = SyntheticStereoDataset(length=16)
+        it = BatchIterator(ds, 2, shuffle=True, seed=0, prefetch=2)
+        before = threading.active_count()
+        first = []
+        gen = iter(it)
+        for i, batch in enumerate(gen):
+            first.append(batch["disparity"].copy())
+            if i == 0:
+                break  # abandon mid-epoch, queue full
+        gen.close()
+        # producer thread must exit (no leak), epoch must advance so the
+        # next pass reshuffles.
+        assert threading.active_count() <= before
+        assert it.epoch == 1
+        second = next(iter(it))["disparity"]
+        assert not np.array_equal(first[0], second)
+
+    def test_wrap_padded_tail_has_zero_valid(self):
+        ds = SyntheticStereoDataset(length=5)
+        it = BatchIterator(ds, 4, shuffle=False, drop_remainder=False, prefetch=0)
+        batches = list(it)
+        assert len(batches) == 2
+        last = batches[-1]
+        # 1 real sample + 3 wrap-padded: padded samples' valid masks zeroed.
+        assert last["valid"][0].sum() > 0
+        assert last["valid"][1:].sum() == 0
+
+
+class TestLeftRight:
+    def test_synthetic_left_right_keys(self):
+        ds = SyntheticStereoDataset(
+            crop_height=48, crop_width=96, max_disp=24, left_right=True
+        )
+        s = ds[0]
+        assert s["disparity_right"].shape == (48, 96)
+        assert s["valid_right"].shape == (48, 96)
+        assert s["valid_right"].max() == 1.0
+
+    def test_sceneflow_right_disp_path(self):
+        sp = derive_paths(
+            "/data", "frames_finalpass/TRAIN/A/0000/left/0006.png", "sceneflow"
+        )
+        assert sp.disparity_right == "/data/disparity/TRAIN/A/0000/right/0006.pfm"
+
+    def test_kitti_left_right_rejected(self, tmp_path):
+        lst = tmp_path / "l.list"
+        lst.write_text("000000_10.png\n")
+        with pytest.raises(ValueError, match="right-view ground truth"):
+            StereoDataset(
+                data_path="/k",
+                list_path=str(lst),
+                crop_height=48,
+                crop_width=48,
+                kind="kitti2015",
+                left_right=True,
+            )
+
+
+class TestPredictNames:
+    def test_unique_basenames_kept(self):
+        import predict
+
+        assert predict.output_names(["000000_10.png", "000001_10.png"]) == [
+            "000000_10.png",
+            "000001_10.png",
+        ]
+
+    def test_colliding_scene_paths_flattened(self):
+        import predict
+
+        entries = [
+            "frames_finalpass/TRAIN/A/0000/left/0006.png",
+            "frames_finalpass/TRAIN/B/0000/left/0006.png",
+        ]
+        names = predict.output_names(entries)
+        assert len(set(names)) == 2
+        assert all(n.endswith(".png") for n in names)

@@ -50,6 +50,18 @@ class TestGANetSmall:
         with pytest.raises(ValueError, match="multiples of 48"):
             _init_and_apply(cfg, 50, 96, train=False)
 
+    def test_softmax_sga_norm_runs_and_differs(self):
+        # Both SGA weight normalizations (the open reference question —
+        # ops/normalize.py) must produce finite, distinct outputs.
+        out_l1, _, _ = _init_and_apply(
+            ganet_small(max_disp=24, sga_norm="l1"), 48, 96, train=False
+        )
+        out_sm, _, _ = _init_and_apply(
+            ganet_small(max_disp=24, sga_norm="softmax"), 48, 96, train=False
+        )
+        assert np.isfinite(np.asarray(out_sm)).all()
+        assert not np.allclose(np.asarray(out_l1), np.asarray(out_sm))
+
     def test_grads_finite(self):
         cfg = ganet_small(max_disp=24)
         model = GANet(cfg)

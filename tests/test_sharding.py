@@ -47,6 +47,28 @@ class TestShardedSGA:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
             )
 
+    @pytest.mark.parametrize("chunks", [2, 4])
+    def test_grads_match_unsharded_multichunk(self, rng, mesh4, chunks):
+        """Backward through the multi-chunk wavefront pipeline (fori_loop +
+        jnp.where masking + ppermute) — the production configuration."""
+        B, D, H, W, C = 1, 4, 8, 12, 1
+        x = jnp.asarray(rng.standard_normal((B, D, H, W, C)).astype(np.float32))
+        w = l1_normalize(
+            jnp.asarray(rng.standard_normal((B, H, W, C, 4, 5)).astype(np.float32)),
+            axis=-1,
+        )
+        g_sh = jax.grad(
+            lambda a, b: jnp.sum(sharded_sga(a, b, mesh4, chunks=chunks) ** 2),
+            argnums=(0, 1),
+        )(x, w)
+        g_ref = jax.grad(
+            lambda a, b: jnp.sum(sga_ref(a, b) ** 2), argnums=(0, 1)
+        )(x, w)
+        for a, b in zip(g_sh, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
+
     @pytest.mark.parametrize("chunks", [2, 5])
     def test_wavefront_chunks_match_unsharded(self, rng, mesh4, chunks):
         # chunks > 1 exercises the true wavefront schedule (several chunks
@@ -66,6 +88,135 @@ class TestShardedSGA:
         x = jnp.zeros((1, 4, 8, 6, 1))
         with pytest.raises(ValueError, match=r"\(4, 5\)"):
             sharded_sga(x, jnp.zeros((1, 8, 6, 1, 5, 4)), mesh4)
+
+
+class TestModelSpatialSharding:
+    """North-star config #5: the FULL model with the cost volume sharded
+    over (space, disp) and SGA running the cross-shard wavefront pipeline
+    (VERDICT round-1 item #1)."""
+
+    def _setup(self, rng, mesh):
+        from ganet_tpu.config import ganet_small
+        from ganet_tpu.models import GANet
+        from ganet_tpu.parallel.mesh import batch_sharding
+
+        cfg = ganet_small(max_disp=24, sga_impl="scan")
+        model_ref = GANet(cfg)
+        model_sh = GANet(cfg, mesh=mesh)
+        key = jax.random.PRNGKey(0)
+        B = 2
+        left = jnp.asarray(rng.standard_normal((B, 48, 96, 3)).astype(np.float32))
+        right = jnp.asarray(rng.standard_normal((B, 48, 96, 3)).astype(np.float32))
+        variables = model_ref.init(key, left, right, train=True)
+        sh = batch_sharding(mesh)
+        left_s = jax.device_put(left, sh)
+        right_s = jax.device_put(right, sh)
+        return model_ref, model_sh, variables, (left, right), (left_s, right_s)
+
+    def test_forward_matches_unsharded(self, rng, mesh4):
+        model_ref, model_sh, variables, (l, r), (ls, rs) = self._setup(
+            rng, mesh4
+        )
+        want = np.asarray(
+            jax.jit(lambda v, a, b: model_ref.apply(v, a, b, train=False))(
+                variables, l, r
+            )
+        )
+        got = np.asarray(
+            jax.jit(lambda v, a, b: model_sh.apply(v, a, b, train=False))(
+                variables, ls, rs
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_grads_match_unsharded(self, rng, mesh4):
+        model_ref, model_sh, variables, (l, r), (ls, rs) = self._setup(
+            rng, mesh4
+        )
+        params = variables["params"]
+        rest = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss(model, p, a, b):
+            out = model.apply({"params": p, **rest}, a, b, train=False)
+            return jnp.mean(out**2)
+
+        g_ref = jax.jit(jax.grad(lambda p: loss(model_ref, p, l, r)))(params)
+        g_sh = jax.jit(jax.grad(lambda p: loss(model_sh, p, ls, rs)))(params)
+        flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+        flat_sh = {
+            jax.tree_util.keystr(k): v
+            for k, v in jax.tree_util.tree_leaves_with_path(g_sh)
+        }
+        for k, v_ref in flat_ref:
+            v_sh = flat_sh[jax.tree_util.keystr(k)]
+            np.testing.assert_allclose(
+                np.asarray(v_sh),
+                np.asarray(v_ref),
+                rtol=2e-4,
+                atol=2e-4,
+                err_msg=jax.tree_util.keystr(k),
+            )
+
+    def test_wavefront_pipeline_actually_executes(self, rng, mesh4, monkeypatch):
+        """The sharded model must (a) route SGA through sharded_sga and
+        (b) compile to a collective-permute pipeline, not a GSPMD
+        all-gather around the scan."""
+        from ganet_tpu.parallel import sharded_sga as ss_mod
+
+        model_ref, model_sh, variables, _, (ls, rs) = self._setup(rng, mesh4)
+        calls = []
+        orig = ss_mod.sharded_sga
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(ss_mod, "sharded_sga", spy)
+        fn = jax.jit(lambda v, a, b: model_sh.apply(v, a, b, train=False))
+        compiled = fn.lower(variables, ls, rs).compile()
+        # every SGA block routed through the pipeline
+        from ganet_tpu.config import ganet_small
+
+        cfg = ganet_small()
+        assert len(calls) >= cfg.num_sga_full + cfg.num_sga_half
+        text = compiled.as_text()
+        assert "collective-permute" in text
+
+    def test_dp_space_disp_mesh_trains(self, rng):
+        """(data=2, disp=2, space=2): one train step over all three mesh
+        axes with finite loss (VERDICT round-1 item #5)."""
+        if jax.device_count() < 8:
+            pytest.skip("needs >= 8 devices")
+        from ganet_tpu.config import (
+            DataConfig,
+            MeshConfig,
+            TrainConfig,
+            ganet_small,
+        )
+        from ganet_tpu.parallel.mesh import shard_batch
+        from ganet_tpu.train.state import create_train_state
+        from ganet_tpu.train.trainer import make_train_step
+
+        mesh_cfg = MeshConfig(data=2, space=2, disp=2)
+        cfg = TrainConfig(
+            model=ganet_small(max_disp=24, sga_impl="scan"),
+            data=DataConfig(crop_height=48, crop_width=96, kind="synthetic"),
+            mesh=mesh_cfg,
+            batch_size=2,
+            save_path="/tmp/ganet_test_dsd",
+        )
+        mesh = make_mesh(mesh_cfg)
+        from ganet_tpu.data.dataset import SyntheticStereoDataset
+
+        ds = SyntheticStereoDataset(crop_height=48, crop_width=96, max_disp=24)
+        batch = {
+            k: np.stack([ds[i][k] for i in range(2)]) for k in ds[0]
+        }
+        with mesh:
+            state = create_train_state(cfg, jax.random.PRNGKey(0), mesh=mesh)
+        step = make_train_step(cfg, mesh)
+        state, metrics = step(state, shard_batch(mesh, batch))
+        assert np.isfinite(float(metrics["loss"]))
 
 
 class TestDataParallelEquivalence:

@@ -136,3 +136,61 @@ class TestTrainer:
         t = Trainer(cfg)
         m = t.evaluate(max_batches=2)
         assert "epe" in m and np.isfinite(m["epe"])
+
+    def test_restore_skips_incomplete_checkpoint(self, tmp_path):
+        """Preemption safety: a process killed mid-save leaves an orbax tmp
+        dir that must NOT be picked up as the latest step."""
+        import os
+
+        from ganet_tpu.train.trainer import Trainer
+
+        cfg = _tiny_cfg(tmp_path)
+        t = Trainer(cfg)
+        t.fit()  # saves epoch 0 (waits at end of fit)
+        # Simulate a kill mid-save of epoch 1: an un-finalized tmp dir the
+        # way orbax names them before the atomic rename.
+        ckpt_dir = t.ckpt_dir
+        os.makedirs(
+            os.path.join(ckpt_dir, "1.orbax-checkpoint-tmp-1234567890"),
+        )
+        t2 = Trainer(_tiny_cfg(tmp_path, epochs=2))
+        assert t2.start_epoch == 1  # resumed from complete epoch 0
+
+    def test_best_epe_checkpoint(self, tmp_path):
+        import json
+        import os
+
+        from ganet_tpu.train.trainer import Trainer
+
+        cfg = _tiny_cfg(tmp_path)
+        t = Trainer(cfg)
+        assert t.save_best(5.0) is True
+        assert t.save_best(7.0) is False  # worse: not saved
+        assert t.save_best(3.0) is True
+        t.wait_for_checkpoints()
+        with open(os.path.join(t.ckpt_dir, "best_epe.json")) as f:
+            assert json.load(f)["epe"] == 3.0
+        assert t._best_mgr.latest_step() is not None
+        t.close()
+
+    def test_evaluate_weights_by_valid_pixels(self, tmp_path):
+        """Pixel-weighted aggregation: a batch with few valid pixels must
+        not carry the same weight as a full one."""
+        import jax.numpy as jnp
+
+        from ganet_tpu.train import trainer as trainer_mod
+        from ganet_tpu.train.trainer import Trainer
+
+        cfg = _tiny_cfg(tmp_path)
+        t = Trainer(cfg)
+        fake = iter(
+            [
+                {"epe": jnp.array(1.0), "valid_px": jnp.array(1000.0)},
+                {"epe": jnp.array(9.0), "valid_px": jnp.array(1.0)},
+            ]
+        )
+        t.eval_step = lambda state, batch: next(fake)
+        m = t.evaluate(max_batches=2)
+        # weighted: (1*1000 + 9*1) / 1001 ~= 1.008, NOT the batch mean 5.0
+        assert m["epe"] == pytest.approx((1000 + 9) / 1001.0)
+        t.close()

@@ -139,9 +139,12 @@ def main(argv=None):
         f"crop={cfg.data.crop_height}x{cfg.data.crop_width} "
         f"batch={cfg.batch_size} mesh={dict(trainer.mesh.shape)}"
     )
-    trainer.fit()
-    if args.eval:
-        trainer.evaluate()
+    try:
+        trainer.fit()
+        if args.eval:
+            trainer.evaluate()
+    finally:
+        trainer.close()
 
 
 if __name__ == "__main__":
