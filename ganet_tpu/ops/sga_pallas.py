@@ -112,6 +112,86 @@ def _make_fwd_kernel(L_total: int, Lb: int, nlb: int, reverse: bool):
     return kernel
 
 
+def _make_fwd_kernel_seeded(L_total: int, Lb: int, nlb: int, reverse: bool):
+    """Seeded variant for the cross-shard wavefront pipeline
+    (parallel/sharded_sga.py): the carry entering the first sweep step is a
+    boundary row from the neighboring shard instead of the reference
+    copy-x boundary condition.  `valid` (f32 0/1 scalar) selects at trace
+    runtime between the seeded recurrence and the reference condition, so
+    ONE compiled kernel serves both the pipeline-head shard and the rest —
+    mirroring ops/sga.py's step_flagged scan."""
+
+    def kernel(x_ref, w_ref, seed_ref, valid_ref, o_ref, carry_ref):
+        lb = pl.program_id(2)
+        block_index = (nlb - 1 - lb) if reverse else lb
+        valid = valid_ref[0, 0] != 0.0
+
+        @pl.when(lb == 0)
+        def _():
+            carry_ref[:] = seed_ref[0].astype(jnp.float32)
+
+        def step(j, prev):
+            i = (Lb - 1 - j) if reverse else j
+            l_global = block_index * Lb + i
+            in_range = l_global < L_total
+            first = l_global == (L_total - 1 if reverse else 0)
+
+            xt = x_ref[0, i].astype(jnp.float32)
+            wt = w_ref[0, i].astype(jnp.float32)
+            w0, w1, w2, w3, w4 = (wt[k][None, :] for k in range(5))
+            zero = jnp.zeros((1, prev.shape[1]), prev.dtype)
+            prev_dm1 = jnp.concatenate([zero, prev[:-1]], axis=0)
+            prev_dp1 = jnp.concatenate([prev[1:], zero], axis=0)
+            pmax = jnp.max(prev, axis=0, keepdims=True)
+            out = w0 * xt + w1 * prev + w2 * prev_dm1 + w3 * prev_dp1 + w4 * pmax
+            out = jnp.where(
+                jnp.logical_and(first, jnp.logical_not(valid)), xt, out
+            )
+            o_ref[0, i] = out.astype(o_ref.dtype)
+            return jnp.where(in_range, out, prev)
+
+        carry_ref[:] = lax.fori_loop(0, Lb, step, carry_ref[:])
+
+    return kernel
+
+
+def _sweep_fwd_canonical_seeded(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    seed: jnp.ndarray,
+    valid: jnp.ndarray,
+    reverse: bool,
+) -> jnp.ndarray:
+    """x (N, L, D, M), w (N, L, 5, M), seed (N, D, M), valid (1, 1) f32."""
+    N, L, D, M = x.shape
+    Lb = _pick_l_block(D, L, 1 * 1024 * 1024)
+    nlb = pl.cdiv(L, Lb)
+    grid = (N, pl.cdiv(M, _LANES), nlb)
+    if reverse:
+        lmap = lambda n, m, l: (n, nlb - 1 - l, 0, m)
+    else:
+        lmap = lambda n, m, l: (n, l, 0, m)
+    smap = lambda n, m, l: (n, 0, m)
+    return pl.pallas_call(
+        _make_fwd_kernel_seeded(L, Lb, nlb, reverse),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Lb, D, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lb, 5, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, _LANES), smap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1), lambda n, m, l: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Lb, D, _LANES), lmap, memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, L, D, M), x.dtype),
+        scratch_shapes=[pltpu.VMEM((D, _LANES), jnp.float32)],
+        interpret=_interpret(),
+    )(x, w, seed, valid)
+
+
 def _sweep_fwd_canonical(
     x: jnp.ndarray, w: jnp.ndarray, reverse: bool
 ) -> jnp.ndarray:
@@ -210,6 +290,130 @@ def _make_bwd_kernel(L_total: int, Lb: int, nlb: int, reverse: bool):
         carry_ref[:] = lax.fori_loop(0, Lb, step, carry_ref[:])
 
     return kernel
+
+
+def _make_bwd_kernel_seeded(L_total: int, Lb: int, nlb: int, reverse: bool):
+    """Backward of the seeded sweep.  Differences vs _make_bwd_kernel:
+    the first-in-sweep-order step's specials (dx = g, dw = 0, carry cut)
+    apply only when the seed was INVALID (reference boundary condition);
+    with a valid seed every step is a full recurrence step, aprev at the
+    first step is the seed itself (prepared by the caller), and the carry
+    that falls out of the last processed step is exactly dL/dseed —
+    emitted as a third output."""
+
+    def kernel(
+        x_ref, w_ref, aprev_ref, gbar_ref, valid_ref,
+        dx_ref, dw_ref, dseed_ref, carry_ref,
+    ):
+        lb = pl.program_id(2)
+        block_index = lb if reverse else (nlb - 1 - lb)
+        valid = valid_ref[0, 0] != 0.0
+
+        @pl.when(lb == 0)
+        def _():
+            carry_ref[:] = jnp.zeros_like(carry_ref)
+
+        def step(j, c):
+            i = j if reverse else (Lb - 1 - j)
+            l_global = block_index * Lb + i
+            in_range = l_global < L_total
+            is_sweep_first = l_global == (L_total - 1 if reverse else 0)
+            ref_first = jnp.logical_and(is_sweep_first, jnp.logical_not(valid))
+            live = jnp.where(in_range, 1.0, 0.0)
+
+            f32 = jnp.float32
+            xt = x_ref[0, i].astype(f32)
+            ap = aprev_ref[0, i].astype(f32)
+            gb = gbar_ref[0, i].astype(f32) * live
+            wt = w_ref[0, i].astype(f32) * live
+            w0, w1, w2, w3, w4 = (wt[k][None, :] for k in range(5))
+
+            g = gb + c
+
+            dx = jnp.where(ref_first, g, w0 * g)
+            dx_ref[0, i] = dx.astype(dx_ref.dtype)
+
+            wlive = live * jnp.where(ref_first, 0.0, 1.0)
+            zero = jnp.zeros((1, g.shape[1]), g.dtype)
+            ap_dm1 = jnp.concatenate([zero, ap[:-1]], axis=0)
+            ap_dp1 = jnp.concatenate([ap[1:], zero], axis=0)
+            ap_max = jnp.max(ap, axis=0, keepdims=True)
+            gsum = jnp.sum(g, axis=0, keepdims=True)
+            dw = jnp.concatenate(
+                [
+                    jnp.sum(g * xt, axis=0, keepdims=True),
+                    jnp.sum(g * ap, axis=0, keepdims=True),
+                    jnp.sum(g * ap_dm1, axis=0, keepdims=True),
+                    jnp.sum(g * ap_dp1, axis=0, keepdims=True),
+                    gsum * ap_max,
+                ],
+                axis=0,
+            )
+            dw_ref[0, i] = (dw * wlive).astype(dw_ref.dtype)
+
+            g_up = jnp.concatenate([g[1:], zero], axis=0)
+            g_dn = jnp.concatenate([zero, g[:-1]], axis=0)
+            eq = (ap == ap_max).astype(g.dtype)
+            eq = eq / jnp.maximum(jnp.sum(eq, axis=0, keepdims=True), 1.0)
+            c_next = w1 * g + w2 * g_up + w3 * g_dn + w4 * gsum * eq
+            c_next = jnp.where(ref_first, jnp.zeros_like(c_next), c_next)
+            return jnp.where(in_range, c_next, c)
+
+        carry_ref[:] = lax.fori_loop(0, Lb, step, carry_ref[:])
+
+        # After the final block the carry is the cotangent flowing past the
+        # sweep-first step — i.e. into the seed (zero when the seed was
+        # invalid: ref_first cut it above).
+        @pl.when(lb == nlb - 1)
+        def _():
+            dseed_ref[0] = carry_ref[:].astype(dseed_ref.dtype)
+
+    return kernel
+
+
+def _sweep_bwd_canonical_seeded(
+    x, w, a, seed, valid, gbar, reverse: bool
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    N, L, D, M = x.shape
+    Lb = _pick_l_block(D, L, 512 * 1024)
+    nlb = pl.cdiv(L, Lb)
+    grid = (N, pl.cdiv(M, _LANES), nlb)
+    # aprev: seed at the sweep-first position (vs zeros in the unseeded
+    # kernel, where that position's values are never used).
+    if reverse:
+        aprev = jnp.concatenate([a[:, 1:], seed[:, None]], axis=1)
+        lmap = lambda n, m, l: (n, l, 0, m)
+    else:
+        aprev = jnp.concatenate([seed[:, None], a[:, :-1]], axis=1)
+        lmap = lambda n, m, l: (n, nlb - 1 - l, 0, m)
+    smap = lambda n, m, l: (n, 0, m)
+
+    dx, dw, dseed = pl.pallas_call(
+        _make_bwd_kernel_seeded(L, Lb, nlb, reverse),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Lb, D, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lb, 5, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lb, D, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lb, D, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1), lambda n, m, l: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Lb, D, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lb, 5, _LANES), lmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, _LANES), smap, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, L, D, M), x.dtype),
+            jax.ShapeDtypeStruct((N, L, 5, M), w.dtype),
+            jax.ShapeDtypeStruct((N, D, M), seed.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((D, _LANES), jnp.float32)],
+        interpret=_interpret(),
+    )(x, w, aprev, gbar, valid)
+    return dx, dw, dseed
 
 
 def _sweep_bwd_canonical(
@@ -316,10 +520,46 @@ def _sweep_canonical_bwd(reverse, res, gbar):
 _sweep_canonical.defvjp(_sweep_canonical_fwd, _sweep_canonical_bwd)
 
 
-def sga_sweep(x, w, axis: str, reverse: bool):
-    """Pallas directional sweep; same contract as ops.sga.sga_sweep."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _sweep_canonical_seeded(xk, wk, seed, valid, reverse: bool):
+    return _sweep_fwd_canonical_seeded(xk, wk, seed, valid, reverse)
+
+
+def _sweep_canonical_seeded_fwd(xk, wk, seed, valid, reverse):
+    a = _sweep_fwd_canonical_seeded(xk, wk, seed, valid, reverse)
+    return a, (xk, wk, a, seed, valid)
+
+
+def _sweep_canonical_seeded_bwd(reverse, res, gbar):
+    xk, wk, a, seed, valid = res
+    dx, dw, dseed = _sweep_bwd_canonical_seeded(
+        xk, wk, a, seed, valid, gbar, reverse
+    )
+    return dx, dw, dseed, jnp.zeros_like(valid)
+
+
+_sweep_canonical_seeded.defvjp(
+    _sweep_canonical_seeded_fwd, _sweep_canonical_seeded_bwd
+)
+
+
+def sga_sweep(x, w, axis: str, reverse: bool, initial=None, initial_valid=None):
+    """Pallas directional sweep; same contract as ops.sga.sga_sweep,
+    including the seeded boundary condition used by the cross-shard
+    wavefront pipeline (initial: (B, D, P, C) carry entering the sweep,
+    initial_valid: traced bool selecting seed vs reference condition)."""
     xk, wk = _to_canonical(x, w, axis)
-    out = _sweep_canonical(xk, wk, reverse)
+    if initial is None:
+        out = _sweep_canonical(xk, wk, reverse)
+        return _from_canonical(out, x.shape, axis)
+    B, D, H, W, C = x.shape
+    # seed (B, D, P, C) -> canonical (N, D, M): N = B*C, M = perpendicular.
+    seedk = jnp.transpose(initial, (0, 3, 1, 2)).reshape(B * C, D, -1)
+    if initial_valid is None:
+        valid = jnp.ones((1, 1), jnp.float32)
+    else:
+        valid = jnp.asarray(initial_valid, jnp.float32).reshape(1, 1)
+    out = _sweep_canonical_seeded(xk, wk, seedk, valid, reverse)
     return _from_canonical(out, x.shape, axis)
 
 

@@ -28,7 +28,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ganet_tpu.ops.normalize import l1_normalize
@@ -45,8 +44,23 @@ def _local_horizontal_sweep(x, w, reverse: bool, impl: str):
     return _sweep(x, w, "w", reverse)
 
 
+def _local_seeded_sweep(x, w, reverse, initial, initial_valid, impl: str):
+    """One seeded along-H sweep of a local W-chunk (the wavefront's unit of
+    work).  impl='pallas' runs the seeded Pallas kernel (boundary carry in
+    VMEM, custom VJP emitting dL/dseed for the reverse pipeline)."""
+    if impl == "pallas":
+        from ganet_tpu.ops import sga_pallas
+
+        return sga_pallas.sga_sweep(
+            x, w, "h", reverse, initial=initial, initial_valid=initial_valid
+        )
+    return _sweep(
+        x, w, "h", reverse, initial=initial, initial_valid=initial_valid
+    )
+
+
 def _pipelined_vertical_sweep(
-    x, w, reverse: bool, axis_name: str, chunks: int = 0
+    x, w, reverse: bool, axis_name: str, chunks: int = 0, impl: str = "scan"
 ):
     """Local block of a vertical (along-H) sweep inside shard_map, run as a
     WAVEFRONT pipeline over W-chunks.
@@ -66,7 +80,7 @@ def _pipelined_vertical_sweep(
     B, D, Hl, W, C = x.shape
 
     if S == 1:
-        return _sweep(x, w, "h", reverse)
+        return _local_seeded_sweep(x, w, reverse, None, None, impl)
 
     if chunks <= 0:
         # Enough chunks to keep pipeline fill low while keeping each chunk
@@ -93,13 +107,8 @@ def _pipelined_vertical_sweep(
         cw = jnp.clip(c, 0, chunks - 1) * Wc
         xc = lax.dynamic_slice(x, (0, 0, 0, cw, 0), (B, D, Hl, Wc, C))
         wc = lax.dynamic_slice(w, (0, 0, cw, 0, 0), (B, Hl, Wc, C, 5))
-        local = _sweep(
-            xc,
-            wc,
-            "h",
-            reverse,
-            initial=boundary,
-            initial_valid=jnp.logical_not(head),
+        local = _local_seeded_sweep(
+            xc, wc, reverse, boundary, jnp.logical_not(head), impl
         )
         result = jnp.where(
             active,
@@ -133,8 +142,12 @@ def _sharded_sga_local(
     """
     out_lr = _local_horizontal_sweep(x, w[..., 0, :], False, impl)
     out_rl = _local_horizontal_sweep(x, w[..., 1, :], True, impl)
-    out_tb = _pipelined_vertical_sweep(x, w[..., 2, :], False, axis_name, chunks)
-    out_bt = _pipelined_vertical_sweep(x, w[..., 3, :], True, axis_name, chunks)
+    out_tb = _pipelined_vertical_sweep(
+        x, w[..., 2, :], False, axis_name, chunks, impl
+    )
+    out_bt = _pipelined_vertical_sweep(
+        x, w[..., 3, :], True, axis_name, chunks, impl
+    )
     return jnp.maximum(
         jnp.maximum(out_lr, out_rl), jnp.maximum(out_tb, out_bt)
     )
@@ -164,12 +177,16 @@ def sharded_sga(
         raise ValueError(f"weights must end in (4, 5), got {weights.shape}")
     spec_x = P(batch_axis, None, axis_name, None, None)
     spec_w = P(batch_axis, axis_name, None, None, None, None)
-    fn = shard_map(
+    # check_vma=False: pallas_call custom-calls inside the body don't carry
+    # varying-mesh-axes metadata, and the static replication check cannot
+    # see through them (numerics are unaffected; parity is tested).
+    fn = jax.shard_map(
         functools.partial(
             _sharded_sga_local, axis_name=axis_name, chunks=chunks, impl=impl
         ),
         mesh=mesh,
         in_specs=(spec_x, spec_w),
         out_specs=spec_x,
+        check_vma=False,
     )
     return fn(x, weights)

@@ -99,3 +99,74 @@ class TestSGAPallasBackward:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
             )
+
+
+class TestSGAPallasSeeded:
+    """Seeded boundary condition — the wavefront pipeline's local sweep
+    (parallel/sharded_sga.py consumes this inside shard_map)."""
+
+    @pytest.mark.parametrize("reverse", [False, True])
+    @pytest.mark.parametrize("valid", [True, False])
+    def test_seeded_fwd_matches_scan(self, rng, reverse, valid):
+        shape = (1, 4, 7, 6, 2)
+        B, D, H, W, C = shape
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        w = jnp.asarray(_rand_weights(rng, (B, H, W, C, 5)))
+        seed = jnp.asarray(rng.standard_normal((B, D, W, C)).astype(np.float32))
+        vflag = jnp.asarray(valid)
+        got = sga_pallas.sga_sweep(
+            x, w, "h", reverse, initial=seed, initial_valid=vflag
+        )
+        want = _sga_sweep_scan(
+            x, w, "h", reverse, initial=seed, initial_valid=vflag
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    @pytest.mark.parametrize("reverse", [False, True])
+    @pytest.mark.parametrize("valid", [True, False])
+    def test_seeded_vjp_matches_scan(self, rng, reverse, valid):
+        """dx, dw AND dseed through the seeded kernel — dseed is what the
+        pipeline ppermutes backward across shards."""
+        shape = (1, 4, 6, 5, 1)
+        B, D, H, W, C = shape
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        w = jnp.asarray(_rand_weights(rng, (B, H, W, C, 5)))
+        seed = jnp.asarray(rng.standard_normal((B, D, W, C)).astype(np.float32))
+        vflag = jnp.asarray(valid)
+        ct = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+        _, vjp_p = jax.vjp(
+            lambda a, b, s: sga_pallas.sga_sweep(
+                a, b, "h", reverse, initial=s, initial_valid=vflag
+            ),
+            x, w, seed,
+        )
+        _, vjp_s = jax.vjp(
+            lambda a, b, s: _sga_sweep_scan(
+                a, b, "h", reverse, initial=s, initial_valid=vflag
+            ),
+            x, w, seed,
+        )
+        for gp, gs in zip(vjp_p(ct), vjp_s(ct)):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gs), rtol=1e-4, atol=1e-4
+            )
+
+    def test_seeded_partial_tail_block(self, rng):
+        shape = (1, 4, 11, 6, 1)  # L=11: partial tail L-block
+        B, D, H, W, C = shape
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        w = jnp.asarray(_rand_weights(rng, (B, H, W, C, 5)))
+        seed = jnp.asarray(rng.standard_normal((B, D, W, C)).astype(np.float32))
+        vflag = jnp.asarray(True)
+        got = sga_pallas.sga_sweep(
+            x, w, "h", True, initial=seed, initial_valid=vflag
+        )
+        want = _sga_sweep_scan(
+            x, w, "h", True, initial=seed, initial_valid=vflag
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )

@@ -84,6 +84,34 @@ class TestShardedSGA:
         got = np.asarray(sharded_sga(x, w, mesh4, chunks=chunks))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    def test_pallas_local_sweeps_match_unsharded(self, rng, mesh4):
+        """impl='pallas' inside shard_map: horizontal sweeps AND the seeded
+        wavefront vertical sweeps run the Pallas kernels (interpret mode on
+        CPU), forward + grads."""
+        B, D, H, W, C = 1, 4, 8, 12, 1
+        x = jnp.asarray(rng.standard_normal((B, D, H, W, C)).astype(np.float32))
+        w = l1_normalize(
+            jnp.asarray(rng.standard_normal((B, H, W, C, 4, 5)).astype(np.float32)),
+            axis=-1,
+        )
+        want = np.asarray(sga_ref(x, w))
+        got = np.asarray(sharded_sga(x, w, mesh4, chunks=2, impl="pallas"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+        g_sh = jax.grad(
+            lambda a, b: jnp.sum(
+                sharded_sga(a, b, mesh4, chunks=2, impl="pallas") ** 2
+            ),
+            argnums=(0, 1),
+        )(x, w)
+        g_ref = jax.grad(
+            lambda a, b: jnp.sum(sga_ref(a, b) ** 2), argnums=(0, 1)
+        )(x, w)
+        for a, b in zip(g_sh, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
+
     def test_rejects_bad_weights(self, rng, mesh4):
         x = jnp.zeros((1, 4, 8, 6, 1))
         with pytest.raises(ValueError, match=r"\(4, 5\)"):

@@ -129,6 +129,42 @@ class TestTrainer:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0] * 0.7, losses
 
+    def test_accuracy_gate_synthetic_convergence(self, tmp_path):
+        """Accuracy proxy gate (VERDICT round-1 #7): the model must SOLVE
+        stereo on synthetic data, not merely reduce a loss — train EPE
+        < 2 px within 50 steps (fresh init starts at ~11 px; calibrated
+        trajectory reaches ~1.6 px at step 40 with margin)."""
+        from ganet_tpu.data.dataset import SyntheticStereoDataset
+        from ganet_tpu.parallel.mesh import make_mesh, shard_batch
+        from ganet_tpu.train.state import create_train_state
+        from ganet_tpu.train.trainer import make_train_step
+
+        import dataclasses
+
+        # lr=1e-3 matches the calibrated trajectory (3e-4 converges slower).
+        cfg = dataclasses.replace(
+            _tiny_cfg(tmp_path), optim=OptimConfig(lr=1e-3)
+        )
+        mesh = make_mesh(cfg.mesh)
+        ds = SyntheticStereoDataset(crop_height=48, crop_width=96, max_disp=24)
+        batches = []
+        for b in range(2):
+            s = [ds[2 * b + i] for i in range(2)]
+            batches.append(
+                shard_batch(
+                    mesh, {k: np.stack([x[k] for x in s]) for k in s[0]}
+                )
+            )
+        with mesh:
+            state = create_train_state(cfg, jax.random.PRNGKey(0))
+        step_fn = make_train_step(cfg, mesh)
+        epe = float("inf")
+        for i in range(50):
+            state, m = step_fn(state, batches[i % 2])
+            epe = float(m["epe"])
+        assert np.isfinite(epe)
+        assert epe < 2.0, f"model failed to solve synthetic stereo: EPE {epe}"
+
     def test_evaluate_returns_metrics(self, tmp_path):
         from ganet_tpu.train.trainer import Trainer
 
