@@ -37,6 +37,10 @@ def parse_args(argv=None):
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--model", type=str, default="GANet_deep")
     p.add_argument("--max_samples", type=int, default=0)
+    p.add_argument("--weighting", choices=["image", "pixel"], default="image",
+                   help="'image' = mean of per-image metrics (the KITTI "
+                        "protocol and the reference's val loop); 'pixel' = "
+                        "valid-pixel-weighted (matches Trainer.evaluate)")
     return p.parse_args(argv)
 
 
@@ -51,6 +55,7 @@ def _metrics_np(pred, gt, max_disp):
         "rate_2px": float(((err > 2.0) & valid).sum() / n),
         "rate_3px": float(((err > 3.0) & valid).sum() / n),
         "d1_all": float((d1 & valid).sum() / n),
+        "valid_px": float(valid.sum()),
     }
 
 
@@ -65,11 +70,15 @@ def main(argv=None):
 
     totals: dict = {}
     count = 0
+    weight_sum = 0.0
 
     def accumulate(m):
-        nonlocal count
+        nonlocal count, weight_sum
+        w = m.pop("valid_px") if args.weighting == "pixel" else 1.0
         for k, v in m.items():
-            totals[k] = totals.get(k, 0.0) + v
+            if k != "valid_px":
+                totals[k] = totals.get(k, 0.0) + v * w
+        weight_sum += w
         count += 1
 
     if args.pred_path:
@@ -78,12 +87,15 @@ def main(argv=None):
         from ganet_tpu.data.lists import derive_paths, read_list
         from ganet_tpu.data.pfm import read_pfm
 
+        from predict import output_names
+
         entries = read_list(args.test_list)
         if args.max_samples:
             entries = entries[: args.max_samples]
-        for e in entries:
+        # Same collision-free naming as predict.py writes.
+        names = output_names(entries)
+        for e, name in zip(entries, names):
             paths = derive_paths(args.gt_path or args.data_path, e, kind)
-            name = os.path.basename(e)
             pred = read_disparity_png(os.path.join(args.pred_path, name))
             if kind == "sceneflow":
                 gt = read_pfm(paths.disparity)
@@ -130,7 +142,8 @@ def main(argv=None):
             )[0]
             accumulate(_metrics_np(pred, s["disparity"], args.max_disp))
 
-    result = {k: v / max(count, 1) for k, v in totals.items()}
+    denom = weight_sum if args.weighting == "pixel" else count
+    result = {k: v / max(denom, 1) for k, v in totals.items()}
     print(
         f"samples={count} "
         + " ".join(f"{k}={v:.4f}" for k, v in sorted(result.items()))

@@ -55,6 +55,9 @@ def parse_args(argv=None):
     p.add_argument("--sga_impl", type=str, default="auto",
                    choices=["auto", "scan", "pallas"])
     p.add_argument("--bf16", type=int, default=0)
+    p.add_argument("--batch", type=int, default=1,
+                   help="inference batch size; batching amortizes "
+                        "per-kernel fixed costs (~1.4x pairs/s at 4)")
     return p.parse_args(argv)
 
 
@@ -126,18 +129,27 @@ def main(argv=None):
         names = output_names(ds.entries)
         sizes = [ds.original_size(i) for i in range(len(ds))]
 
-    for i in range(len(ds)):
-        sample = ds[i]
-        left = jnp.asarray(sample["left"])[None]
-        right = jnp.asarray(sample["right"])[None]
-        disp = np.asarray(predict(trainer.state, left, right))[0]
-        # Unpad: the test transform pads top/right, so the original frame is
-        # the bottom-left corner.
-        H, W = sizes[i]
-        disp = disp[disp.shape[0] - H :, :W]
-        out = os.path.join(args.save_path, names[i])
-        write_disparity_png(out, disp)
-        print(f"[{i + 1}/{len(ds)}] wrote {out}")
+    B = max(1, args.batch)
+    n = len(ds)
+    for start in range(0, n, B):
+        idx = list(range(start, min(start + B, n)))
+        samples = [ds[i] for i in idx]
+        # Pad the final partial batch by repeating the last sample so the
+        # jitted program keeps one static batch shape (no recompiles).
+        while len(samples) < B:
+            samples.append(samples[-1])
+        left = jnp.asarray(np.stack([s["left"] for s in samples]))
+        right = jnp.asarray(np.stack([s["right"] for s in samples]))
+        disps = np.asarray(predict(trainer.state, left, right))
+        for j, i in enumerate(idx):
+            disp = disps[j]
+            # Unpad: the test transform pads top/right, so the original
+            # frame is the bottom-left corner.
+            H, W = sizes[i]
+            disp = disp[disp.shape[0] - H :, :W]
+            out = os.path.join(args.save_path, names[i])
+            write_disparity_png(out, disp)
+            print(f"[{i + 1}/{n}] wrote {out}")
 
 
 if __name__ == "__main__":

@@ -25,6 +25,7 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--max_disp", type=int, default=192)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--impl", default="pallas", choices=["pallas", "scan"])
     p.add_argument("--only", default="")
     args = p.parse_args(argv)
 
@@ -41,7 +42,7 @@ def main(argv=None):
     H, W, D = args.height, args.width, args.max_disp
     H3, W3, D3 = H // 3, W // 3, D // 3
     dtype = jnp.dtype(args.dtype)
-    cfg = ganet_deep(max_disp=D, compute_dtype=args.dtype)
+    cfg = ganet_deep(max_disp=D, compute_dtype=args.dtype, sga_impl=args.impl)
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
 

@@ -24,6 +24,7 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--max_disp", type=int, default=192)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--batch", type=int, default=1)
     p.add_argument("--only", default="", help="comma-separated stage filter")
     args = p.parse_args(argv)
 
@@ -39,6 +40,7 @@ def main(argv=None):
 
     H, W, D = args.height, args.width, args.max_disp
     H3, W3, D3 = H // 3, W // 3, D // 3
+    NB = args.batch
     dtype = jnp.dtype(args.dtype)
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
@@ -47,9 +49,9 @@ def main(argv=None):
 
     # --- SGA blocks (full + half res, deep config: 3 + 4 blocks) ---------
     C_full, C_half = 32, 48
-    x_full = jax.random.normal(ks[0], (1, D3, H3, W3, C_full), dtype)
+    x_full = jax.random.normal(ks[0], (NB, D3, H3, W3, C_full), dtype)
     w_full = l1_normalize(
-        jax.random.uniform(ks[1], (1, H3, W3, C_full, 4, 5), jnp.float32),
+        jax.random.uniform(ks[1], (NB, H3, W3, C_full, 4, 5), jnp.float32),
         axis=-1,
     ).astype(dtype)
     # NOTE: every big tensor a stage needs rides as an explicit argument
@@ -62,11 +64,11 @@ def main(argv=None):
         w_full,
     )
     x_half = jax.random.normal(
-        ks[2], (1, D3 // 2, H3 // 2, W3 // 2, C_half), dtype
+        ks[2], (NB, D3 // 2, H3 // 2, W3 // 2, C_half), dtype
     )
     w_half = l1_normalize(
         jax.random.uniform(
-            ks[3], (1, H3 // 2, W3 // 2, C_half, 4, 5), jnp.float32
+            ks[3], (NB, H3 // 2, W3 // 2, C_half, 4, 5), jnp.float32
         ),
         axis=-1,
     ).astype(dtype)
@@ -77,9 +79,9 @@ def main(argv=None):
     )
 
     # --- LGA at full image resolution (DispAgg head: 2 apps x 2 repeats) -
-    x_lga = jax.random.normal(ks[4], (1, D, H, W), jnp.float32)
+    x_lga = jax.random.normal(ks[4], (NB, D, H, W), jnp.float32)
     g_lga = l1_normalize(
-        jax.random.uniform(ks[5], (1, H, W, 75), jnp.float32), axis=-1
+        jax.random.uniform(ks[5], (NB, H, W, 75), jnp.float32), axis=-1
     )
     stages["lga_full(x1)"] = (
         lambda x, g: dispatch.lga(x, g, radius=2, repeats=1, impl="pallas"),
@@ -88,7 +90,7 @@ def main(argv=None):
     )
 
     # --- trilinear upsample + softmax + regression (per head) ------------
-    x_low = jax.random.normal(ks[6], (1, D3, H3, W3), jnp.float32)
+    x_low = jax.random.normal(ks[6], (NB, D3, H3, W3), jnp.float32)
 
     def head(x):
         up = trilinear_upsample(x, (D, H, W))
@@ -103,7 +105,7 @@ def main(argv=None):
     from ganet_tpu.models.layers import FastConv3d
 
     conv = FastConv3d(C_full, 3, use_bias=False, dtype=dtype)
-    cv0 = jax.random.normal(ks[7], (1, D3, H3, W3, 2 * C_full), dtype)
+    cv0 = jax.random.normal(ks[7], (NB, D3, H3, W3, 2 * C_full), dtype)
     cvars = conv.init(key, cv0)
 
     stages["conv3d_64to32_fullres_decomposed(x1)"] = (
@@ -113,8 +115,8 @@ def main(argv=None):
     )
 
     # --- cost volume -------------------------------------------------------
-    f_l = jax.random.normal(ks[0], (1, H3, W3, C_full), dtype)
-    f_r = jax.random.normal(ks[1], (1, H3, W3, C_full), dtype)
+    f_l = jax.random.normal(ks[0], (NB, H3, W3, C_full), dtype)
+    f_r = jax.random.normal(ks[1], (NB, H3, W3, C_full), dtype)
     stages["cost_volume"] = (
         lambda x, r: build_cost_volume(x, r, D3),
         f_l,
@@ -127,7 +129,7 @@ def main(argv=None):
     from ganet_tpu.models.guidance import GuidanceNet
 
     cfg = ganet_deep(max_disp=D, compute_dtype=args.dtype)
-    img = jax.random.normal(ks[2], (2, H, W, 3), jnp.float32)
+    img = jax.random.normal(ks[2], (2 * NB, H, W, 3), jnp.float32)
     fnet = FeatureNet(cfg)
     fvars = jax.jit(lambda k: fnet.init(k, img, False))(key)
     stages["feature_net(both views)"] = (
@@ -137,8 +139,8 @@ def main(argv=None):
     )
 
     gnet = GuidanceNet(cfg)
-    img1 = img[:1]
-    feat1 = jax.random.normal(ks[3], (1, H3, W3, C_full), dtype)
+    img1 = img[:NB]
+    feat1 = jax.random.normal(ks[3], (NB, H3, W3, C_full), dtype)
     gvars = jax.jit(lambda k: gnet.init(k, img1, feat1, False))(key)
     def guidance_all(x, v, f):
         # Sum over every output head so none is dead-code-eliminated.
@@ -151,20 +153,20 @@ def main(argv=None):
     from ganet_tpu.models.aggregation import CostAggregation, DispAggHead
 
     agg = CostAggregation(cfg)
-    cv_in = jax.random.normal(ks[4], (1, D3, H3, W3, 2 * C_full), dtype)
+    cv_in = jax.random.normal(ks[4], (NB, D3, H3, W3, 2 * C_full), dtype)
     guid = {
         "sg_full": [
-            jax.random.normal(ks[i % 8], (1, H3, W3, 4 * 5 * C_full), dtype)
+            jax.random.normal(ks[i % 8], (NB, H3, W3, 4 * 5 * C_full), dtype)
             for i in range(cfg.num_sga_full)
         ],
         "sg_half": [
             jax.random.normal(
-                ks[i % 8], (1, H3 // 2, W3 // 2, 4 * 5 * C_half), dtype
+                ks[i % 8], (NB, H3 // 2, W3 // 2, 4 * 5 * C_half), dtype
             )
             for i in range(cfg.num_sga_half)
         ],
-        "lg1": jax.random.normal(ks[5], (1, H, W, 75), dtype),
-        "lg2": jax.random.normal(ks[6], (1, H, W, 75), dtype),
+        "lg1": jax.random.normal(ks[5], (NB, H, W, 75), dtype),
+        "lg2": jax.random.normal(ks[6], (NB, H, W, 75), dtype),
     }
     avars = jax.jit(lambda k: agg.init(k, cv_in, guid, False))(key)
     stages["cost_aggregation(module, eval)"] = (
@@ -175,7 +177,7 @@ def main(argv=None):
     )
 
     dah = DispAggHead(cfg)
-    x_agg = jax.random.normal(ks[7], (1, D3, H3, W3, C_full), dtype)
+    x_agg = jax.random.normal(ks[7], (NB, D3, H3, W3, C_full), dtype)
     dvars = jax.jit(lambda k: dah.init(k, x_agg, guid["lg1"], guid["lg2"], False))(key)
     stages["dispagg_head(module, eval)"] = (
         lambda x, v, l1, l2: dah.apply(v, x, l1, l2, False),
