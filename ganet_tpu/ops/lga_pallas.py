@@ -175,10 +175,13 @@ def _lga_once(x: jnp.ndarray, g75: jnp.ndarray, radius: int) -> jnp.ndarray:
     B, D, H, W = x.shape
     K = 2 * radius + 1
     r = radius
-    # bf16 halves the window/guidance footprint: bigger H tiles.
+    # bf16 halves the window/guidance footprint: bigger H tiles.  Dt=16
+    # halves the window's D-halo over-fetch ((Dt+2)/Dt) and the per-chunk
+    # fixed costs vs Dt=8; VMEM at f32: 2x(18,32,Wk)x4 window + 75-ch
+    # guidance (75,16,Wk)x4 + out blocks ~ 12 MB at Wk=1024.
     itemsize = jnp.dtype(x.dtype).itemsize
     Ht = 32 if itemsize <= 2 else 16
-    Dt = 8
+    Dt = 16
     Wk = _round_up(W + 2 * r, _LANES_W)
     Hp = _round_up(H, Ht)
     Dp = _round_up(D, Dt)
