@@ -175,14 +175,25 @@ def _lga_once(x: jnp.ndarray, g75: jnp.ndarray, radius: int) -> jnp.ndarray:
     B, D, H, W = x.shape
     K = 2 * radius + 1
     r = radius
-    # bf16 halves the window/guidance footprint: bigger H tiles.  Dt=16
-    # halves the window's D-halo over-fetch ((Dt+2)/Dt) and the per-chunk
-    # fixed costs vs Dt=8; VMEM at f32: 2x(18,32,Wk)x4 window + 75-ch
-    # guidance (75,16,Wk)x4 + out blocks ~ 12 MB at Wk=1024.
-    itemsize = jnp.dtype(x.dtype).itemsize
-    Ht = 32 if itemsize <= 2 else 16
-    Dt = 16
     Wk = _round_up(W + 2 * r, _LANES_W)
+    # Tile sizing under the 16 MB VMEM budget (wider images scale the
+    # full-width rows linearly — a fixed Ht/Dt OOMed at W=1248):
+    # double-buffered window 2*(Dt+2)*(Ht+16)*Wk + resident guidance
+    # 75*Ht*Wk + double-buffered out 2*Dt*Ht*Wk.  Prefer big Ht (halo
+    # amortization) then big Dt (D-halo amortization); measured neutral
+    # between (16, 8) and (16, 16) at W=960 f32 — the kernel is
+    # VPU-bound, so shrinking tiles on wide images costs little.
+    x_isize = jnp.dtype(x.dtype).itemsize
+    g_isize = jnp.dtype(g75.dtype).itemsize
+    budget = 13 * 1024 * 1024
+    Ht, Dt = 8, 2
+    for ht, dt in ((32, 16), (32, 8), (16, 16), (16, 8), (8, 8), (8, 4)):
+        win = 2 * (dt + 2) * (ht + 2 * _HALO_H) * Wk * x_isize
+        gbuf = 3 * K * K * ht * Wk * g_isize
+        outbuf = 2 * dt * ht * Wk * x_isize
+        if win + gbuf + outbuf <= budget:
+            Ht, Dt = ht, dt
+            break
     Hp = _round_up(H, Ht)
     Dp = _round_up(D, Dt)
     nD = Dp // Dt

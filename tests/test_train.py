@@ -84,6 +84,47 @@ def _tiny_cfg(tmp_path, steps=2, epochs=1, mesh=MeshConfig()):
     )
 
 
+class TestOptimizer:
+    def test_step_decay_schedule(self):
+        """Reference KITTI fine-tune drops lr 10x at a given epoch
+        (SURVEY.md §2 #12): the optax schedule must reflect it."""
+        from ganet_tpu.config import OptimConfig
+        from ganet_tpu.train.state import make_optimizer
+
+        import optax
+
+        opt = make_optimizer(
+            OptimConfig(lr=1e-3, decay_epoch=2, decay_factor=0.1),
+            steps_per_epoch=10,
+        )
+        state = opt.init({"w": jnp.zeros(3)})
+        # walk steps; optax adam uses the schedule internally — probe via
+        # the injected hyperparams if present, else apply updates and check
+        # the magnitude ratio before/after the boundary.
+        grads = {"w": jnp.ones(3)}
+        lr_effective = []
+        params = {"w": jnp.zeros(3)}
+        for step in range(30):
+            updates, state = opt.update(grads, state, params)
+            lr_effective.append(float(jnp.abs(updates["w"][0])))
+        # adam's unit-gradient step magnitude ~ lr; after epoch 2 (step 20)
+        # it must shrink ~10x.
+        before = np.median(lr_effective[5:15])
+        after = np.median(lr_effective[25:30])
+        assert after < before * 0.2, (before, after)
+
+    def test_constrain_volume_skips_indivisible(self):
+        from ganet_tpu.parallel.mesh import constrain_volume, make_mesh
+        from ganet_tpu.config import MeshConfig
+
+        mesh = make_mesh(MeshConfig(data=2, space=2, disp=2))
+        # D=3 not divisible by disp=2: must be a safe no-op, not an error.
+        x = jnp.zeros((2, 3, 4, 4, 1))
+        y = constrain_volume(x, mesh)
+        assert y.shape == x.shape
+        assert constrain_volume(x, None) is x
+
+
 class TestTrainer:
     def test_one_epoch_runs_and_saves(self, tmp_path):
         from ganet_tpu.train.trainer import Trainer
