@@ -189,4 +189,3 @@ class TrainConfig:
     loss_weights: Tuple[float, ...] = (0.2, 0.6, 1.0)
     log_every: int = 10
     keep_checkpoints: int = 5
-    use_pallas: bool = True  # Pallas SGA/LGA kernels vs pure-JAX scan ops

@@ -135,10 +135,9 @@ def _sharded_sga_local(
     """Full SGA on an H-sharded local block: 2 local horizontal sweeps, 2
     pipelined vertical sweeps, max fusion.
 
-    impl='pallas' runs the horizontal sweeps through the Pallas kernel
-    (they are shard-local); the vertical wavefront keeps the scan
-    formulation, whose seeded boundary condition the Pallas kernel does
-    not (yet) support.
+    impl='pallas' runs every local sweep through the Pallas kernels: the
+    horizontal sweeps are shard-local, and the vertical wavefront uses the
+    seeded kernel (boundary carry in VMEM, dL/dseed VJP) for each W-chunk.
     """
     out_lr = _local_horizontal_sweep(x, w[..., 0, :], False, impl)
     out_rl = _local_horizontal_sweep(x, w[..., 1, :], True, impl)

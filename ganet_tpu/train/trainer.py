@@ -48,6 +48,14 @@ BATCH_KEYS = ("left", "right", "disparity", "valid")
 def make_train_step(cfg: TrainConfig, mesh: Mesh, batch_keys=BATCH_KEYS):
     repl = replicated_sharding(mesh)
     data_sh = batch_sharding(mesh)
+    # Reference --left_right (SURVEY.md §2 #9/#12): supervise the RIGHT
+    # view's disparity too.  The model only predicts left-view disparity, so
+    # the right view rides as the mirror trick — the right disparity of a
+    # pair equals the horizontally-flipped left disparity of the mirrored,
+    # swapped pair (flip(right), flip(left)).  Both views run in ONE forward
+    # by stacking along batch (BN stats then cover both views, and XLA sees
+    # a single larger, better-tiled program instead of two passes).
+    left_right = "disparity_right" in batch_keys
 
     @functools.partial(
         jax.jit,
@@ -59,16 +67,45 @@ def make_train_step(cfg: TrainConfig, mesh: Mesh, batch_keys=BATCH_KEYS):
         state: TrainState, batch: Dict[str, jnp.ndarray]
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         def loss_fn(params):
+            left, right = batch["left"], batch["right"]
+            if left_right:
+                nb = left.shape[0]
+                left = jnp.concatenate([left, right[:, :, ::-1]], axis=0)
+                right = jnp.concatenate(
+                    [batch["right"], batch["left"][:, :, ::-1]], axis=0
+                )
             outputs, updates = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["left"],
-                batch["right"],
+                left,
+                right,
                 train=True,
                 mutable=["batch_stats"],
             )
-            loss = deep_supervision_loss(
-                outputs, batch["disparity"], batch["valid"], cfg.loss_weights
-            )
+            if left_right:
+                outs_l = [o[:nb] for o in outputs]
+                outs_r = [o[nb:, :, ::-1] for o in outputs]
+                loss = 0.5 * (
+                    deep_supervision_loss(
+                        outs_l,
+                        batch["disparity"],
+                        batch["valid"],
+                        cfg.loss_weights,
+                    )
+                    + deep_supervision_loss(
+                        outs_r,
+                        batch["disparity_right"],
+                        batch["valid_right"],
+                        cfg.loss_weights,
+                    )
+                )
+                outputs = outs_l
+            else:
+                loss = deep_supervision_loss(
+                    outputs,
+                    batch["disparity"],
+                    batch["valid"],
+                    cfg.loss_weights,
+                )
             return loss, (outputs, updates)
 
         (loss, (outputs, updates)), grads = jax.value_and_grad(

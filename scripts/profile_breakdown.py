@@ -26,6 +26,13 @@ def main(argv=None):
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--only", default="", help="comma-separated stage filter")
+    p.add_argument(
+        "--trace",
+        default="",
+        metavar="DIR",
+        help="also capture a Perfetto/XPlane trace of each stage's timed "
+        "loop into DIR (open with xprof/tensorboard or ui.perfetto.dev)",
+    )
     args = p.parse_args(argv)
 
     apply_platform_overrides()
@@ -187,12 +194,23 @@ def main(argv=None):
         guid["lg2"],
     )
 
+    from ganet_tpu.utils.profiling import trace
+
     only = [s for s in args.only.split(",") if s]
     for name, (fn, x, *rest) in stages.items():
         if only and not any(o in name for o in only):
             continue
         try:
-            sec = benchmark_fn_chained(fn, x, *rest, iters_low=2, iters_high=4)
+            if args.trace:
+                safe = name.replace("(", "_").replace(")", "").replace(",", "_")
+                with trace(os.path.join(args.trace, safe)):
+                    sec = benchmark_fn_chained(
+                        fn, x, *rest, iters_low=2, iters_high=4
+                    )
+            else:
+                sec = benchmark_fn_chained(
+                    fn, x, *rest, iters_low=2, iters_high=4
+                )
             print(f"{name:42s} {sec * 1e3:9.2f} ms", flush=True)
         except Exception as e:  # keep going; report the failure
             print(f"{name:42s} FAILED: {type(e).__name__}: {e}", flush=True)
