@@ -55,6 +55,16 @@ class ModelConfig:
     sga_norm: str = "l1"
     # LGA applications in the DispAgg head (reference uses LGA2 = 2 passes).
     lga_repeats: int = 2
+    # Rematerialization (jax.checkpoint) policy for training memory:
+    #   "none"   save all activations (fastest step, most HBM);
+    #   "sga"    recompute SGA blocks + disparity heads in backward — the
+    #            modules whose saved sweep/stencil residuals dominate
+    #            activation memory;
+    #   "full"   additionally recompute every 3D conv stage of the
+    #            aggregation hourglass (max batch/crop, more recompute).
+    # The reference has no equivalent (PyTorch saves everything; its
+    # training fit 2 pairs/GPU at 240x528 on 32 GB — SURVEY.md §2 #12).
+    remat: str = "none"
 
     @property
     def disp_channels(self) -> int:

@@ -178,15 +178,52 @@ class CostAggregation(nn.Module):
         full_i = 0
         half_i = 0
 
+        # Rematerialization: the SGA sweeps' saved residuals (4 directional
+        # volumes + kernel carries per block) and the full-res head tensors
+        # dominate training activation memory; cfg.remat trades them for
+        # recompute in backward (lifted transform — parameter paths are
+        # unchanged, only autodiff residuals).
+        remat_blocks = cfg.remat in ("sga", "full")
+        remat_convs = cfg.remat == "full"
+        if cfg.remat not in ("none", "sga", "full"):
+            raise ValueError(f"unknown remat policy {cfg.remat!r}")
+        Sga = nn.remat(SGABlock, static_argnums=(3,)) if remat_blocks else SGABlock
+        Head = nn.remat(DispHead, static_argnums=(2,)) if remat_blocks else DispHead
+        AggHead = (
+            nn.remat(DispAggHead, static_argnums=(4,))
+            if remat_blocks
+            else DispAggHead
+        )
+        # Explicit names pin the parameter paths to the unwrapped classes'
+        # auto-names ("BasicConv_0", ...) so checkpoints are interchangeable
+        # across remat policies (nn.remat's auto-name would otherwise be
+        # "CheckpointBasicConv_0").
+        _Bc = nn.remat(BasicConv, static_argnums=(2,)) if remat_convs else BasicConv
+        _C2 = nn.remat(Conv2x, static_argnums=(3,)) if remat_convs else Conv2x
+        counters = {"bc": 0, "c2": 0}
+
         def conv3(feats, stride=1, relu=True):
-            return BasicConv(
-                feats, 3, stride=stride, is_3d=True, relu=relu, dtype=dtype
+            name = f"BasicConv_{counters['bc']}"
+            counters["bc"] += 1
+            return _Bc(
+                feats,
+                3,
+                stride=stride,
+                is_3d=True,
+                relu=relu,
+                dtype=dtype,
+                name=name,
             )
+
+        def C2(*a, **kw):
+            name = f"Conv2x_{counters['c2']}"
+            counters["c2"] += 1
+            return _C2(*a, **kw, name=name)
 
         def maybe_sga_full(x):
             nonlocal full_i
             if full_i < len(sg_full):
-                x = SGABlock(
+                x = Sga(
                     chans[0], cfg, mesh=self.mesh, name=f"sga_full{full_i}"
                 )(x, sg_full[full_i], train)
                 full_i += 1
@@ -199,7 +236,7 @@ class CostAggregation(nn.Module):
         def maybe_sga_half(x):
             nonlocal half_i
             if half_i < len(sg_half):
-                x = SGABlock(
+                x = Sga(
                     chans[1], cfg, mesh=self.mesh, name=f"sga_half{half_i}"
                 )(x, sg_half[half_i], train)
                 half_i += 1
@@ -216,7 +253,7 @@ class CostAggregation(nn.Module):
         x = conv3(C, relu=False)(cv, train)
         x = maybe_sga_full(x)
         if train:
-            outputs.append(DispHead(cfg, name="disp0")(x, train))
+            outputs.append(Head(cfg, name="disp0")(x, train))
 
         rem = [None] * (levels + 1)
         rem[0] = x
@@ -230,7 +267,7 @@ class CostAggregation(nn.Module):
             # Ascent.
             for i in range(levels, 0, -1):
                 arriving_full = i - 1 == 0
-                x = Conv2x(
+                x = C2(
                     chans[i - 1],
                     deconv=True,
                     is_3d=True,
@@ -246,11 +283,11 @@ class CostAggregation(nn.Module):
             if not last_cycle:
                 if train:
                     outputs.append(
-                        DispHead(cfg, name=f"disp{cycle + 1}")(x, train)
+                        Head(cfg, name=f"disp{cycle + 1}")(x, train)
                     )
                 # Re-descent.
                 for i in range(levels):
-                    x = Conv2x(chans[i + 1], is_3d=True, dtype=dtype)(
+                    x = C2(chans[i + 1], is_3d=True, dtype=dtype)(
                         x, rem[i + 1], train
                     )
                     if i == 0:
@@ -258,7 +295,7 @@ class CostAggregation(nn.Module):
                     rem[i + 1] = x
 
         outputs.append(
-            DispAggHead(cfg, name="disp_final")(
+            AggHead(cfg, name="disp_final")(
                 x, guidance["lg1"], guidance["lg2"], train
             )
         )

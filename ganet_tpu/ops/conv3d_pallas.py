@@ -60,6 +60,56 @@ def supported(x_shape, kernel_shape, stride: int) -> bool:
     return _pick_th(H) != 0 and W % 8 == 0 and W >= 8 and D >= 2
 
 
+def _make_kernel_im2col(Th: int, W: int, Cin: int, Cout: int, out_dtype):
+    """im2col variant: ONE (Th*W, 9*Cin) x (9*Cin, 3*Cout) MXU matmul per
+    grid step instead of nine K=Cin matmuls.  K = 9*Cin (288/576 at the
+    model's widths) fills the MXU contraction dim at ~90% vs 25-50% for
+    K=Cin; the patch build costs 9 VMEM-to-VMEM tile copies, which the
+    matmul win must beat (measured on-chip in scripts/bench_conv3d.py)."""
+
+    def kernel(xm_ref, xb_ref, wp_ref, out_ref, acc):
+        e = pl.program_id(2)
+
+        xt = jnp.concatenate([xm_ref[0, 0], xb_ref[0, 0]], axis=0)
+        # (Th*W, 9*Cin) patches, lane order (dy, dx, c) matching
+        # _pack_weights_im2col.
+        patches = jnp.concatenate(
+            [
+                xt[dy : dy + Th, dx : dx + W].reshape(Th * W, Cin)
+                for dy in range(3)
+                for dx in range(3)
+            ],
+            axis=-1,
+        )
+        c = jnp.dot(
+            patches, wp_ref[:], preferred_element_type=jnp.float32
+        ).reshape(Th, W, 3 * Cout)
+
+        j0 = e % 3
+        acc[j0] = c[:, :, :Cout]
+
+        @pl.when(e >= 1)
+        def _():
+            j1 = (e + 2) % 3
+            acc[j1] = acc[j1] + c[:, :, Cout : 2 * Cout]
+
+        @pl.when(e >= 2)
+        def _():
+            j2 = (e + 1) % 3
+            out_ref[0, 0] = (acc[j2] + c[:, :, 2 * Cout :]).astype(out_dtype)
+
+    return kernel
+
+
+def _pack_weights_im2col(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,3,Cin,Cout) DHWIO -> (9*Cin, 3*Cout): rows ordered (dy, dx, c),
+    depth taps packed into the output lanes (same N packing as
+    _pack_weights)."""
+    kd, kh, kw, Cin, Cout = kernel.shape
+    # (dy, dx, c) x (dz, Cout)
+    return kernel.transpose(1, 2, 3, 0, 4).reshape(kh * kw * Cin, kd * Cout)
+
+
 def _make_kernel(Th: int, W: int, Cin: int, Cout: int, out_dtype):
     def kernel(xm_ref, xb_ref, wp_ref, out_ref, acc):
         e = pl.program_id(2)
@@ -110,15 +160,20 @@ def _pack_weights(kernel: jnp.ndarray) -> jnp.ndarray:
     return kernel.transpose(1, 2, 3, 0, 4).reshape(kh * kw, Cin, kd * Cout)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype",))
+@functools.partial(jax.jit, static_argnames=("out_dtype", "variant"))
 def conv3d_pallas(
-    x: jnp.ndarray, kernel: jnp.ndarray, out_dtype=jnp.float32
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    out_dtype=jnp.float32,
+    variant: str = "taps",
 ) -> jnp.ndarray:
     """Stride-1 'SAME' 3x3x3 convolution, fused single-pass Pallas kernel.
 
     Args:
       x: (B, D, H, W, Cin).
       kernel: (3, 3, 3, Cin, Cout) DHWIO (nn.Conv layout).
+      variant: "taps" (nine K=Cin matmuls) or "im2col" (one K=9*Cin matmul
+        over lane-concatenated patches).
     Returns:
       (B, D, H, W, Cout) in out_dtype.  Matmul accumulation is f32; the
       cross-depth accumulator is f32 regardless of out_dtype.
@@ -132,10 +187,25 @@ def conv3d_pallas(
     Wp = W + 2
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-    wp = _pack_weights(kernel).astype(x.dtype)
+    if variant == "im2col":
+        body = _make_kernel_im2col(Th, W, Cin, Cout, jnp.dtype(out_dtype))
+        wp = _pack_weights_im2col(kernel).astype(x.dtype)
+        w_spec = pl.BlockSpec(
+            (9 * Cin, 3 * Cout),
+            lambda b, h, e: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        body = _make_kernel(Th, W, Cin, Cout, jnp.dtype(out_dtype))
+        wp = _pack_weights(kernel).astype(x.dtype)
+        w_spec = pl.BlockSpec(
+            (9, Cin, 3 * Cout),
+            lambda b, h, e: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     out = pl.pallas_call(
-        _make_kernel(Th, W, Cin, Cout, jnp.dtype(out_dtype)),
+        body,
         grid=(B, H // Th, E),
         in_specs=[
             # Main Th-row tile: padded rows [h*Th, h*Th+Th).
@@ -152,11 +222,7 @@ def conv3d_pallas(
                 lambda b, h, e: (b, e, (h + 1) * Th // 2, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (9, Cin, 3 * Cout),
-                lambda b, h, e: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            w_spec,
         ],
         out_specs=pl.BlockSpec(
             (1, 1, Th, W, Cout),

@@ -170,6 +170,25 @@ def main(argv=None):
 
         print(f"--- {cname}  {xshape} -> C{Cout} s{stride}  ({gf:.1f} GFLOP)")
         if stride == 1:
+            from ganet_tpu.ops.conv3d_pallas import conv3d_pallas, supported
+
+            if supported(xshape, (3, 3, 3, Cin, Cout), stride):
+                bench(
+                    f"{cname}/pallas_taps",
+                    lambda x, k: conv3d_pallas(
+                        x, k, out_dtype=dtype, variant="taps"
+                    ),
+                    x,
+                    k3d,
+                )
+                bench(
+                    f"{cname}/pallas_im2col",
+                    lambda x, k: conv3d_pallas(
+                        x, k, out_dtype=dtype, variant="im2col"
+                    ),
+                    x,
+                    k3d,
+                )
             bench(f"{cname}/dsplit", dsplit, x, k3d)
             bench(
                 f"{cname}/dsplit_bf16",
@@ -205,7 +224,7 @@ def main(argv=None):
             )
         for n in (
             "native3d", "via2d", "via2d_bf16", "dconcat", "dconcat_bf16",
-            "dsplit", "dsplit_bf16",
+            "dsplit", "dsplit_bf16", "pallas_taps", "pallas_im2col",
         ):
             key_ = f"{cname}/{n}"
             if key_ in results:

@@ -21,12 +21,13 @@ SHAPES = [
 
 
 class TestConv3dPallas:
+    @pytest.mark.parametrize("variant", ["taps", "im2col"])
     @pytest.mark.parametrize("xshape,cout", SHAPES)
-    def test_forward_parity(self, xshape, cout):
+    def test_forward_parity(self, xshape, cout, variant):
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         x = jax.random.normal(k1, xshape, jnp.float32)
         w = jax.random.normal(k2, (3, 3, 3, xshape[-1], cout), jnp.float32)
-        y = cp.conv3d_pallas(x, w)
+        y = cp.conv3d_pallas(x, w, variant=variant)
         ref = conv3d_via_2d(x, w, 1)
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(ref), rtol=2e-4, atol=2e-4

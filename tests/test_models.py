@@ -171,3 +171,53 @@ class TestFastConv3d:
         )(x, k)
         assert np.isfinite(np.asarray(gx)).all()
         assert np.isfinite(np.asarray(gk)).all()
+
+
+class TestRemat:
+    def test_remat_policies_preserve_params_and_grads(self):
+        """cfg.remat is a memory/recompute knob only: parameter paths,
+        forward values, and gradients must be identical across policies
+        (so checkpoints trained under one policy load under another)."""
+        import dataclasses
+
+        left = jax.random.normal(jax.random.PRNGKey(1), (1, 48, 96, 3))
+        right = jax.random.normal(jax.random.PRNGKey(2), (1, 48, 96, 3))
+        ref = None
+        for policy in ("none", "sga", "full"):
+            cfg = dataclasses.replace(ganet_small(max_disp=24), remat=policy)
+            model = GANet(cfg)
+            v = model.init(jax.random.PRNGKey(0), left, right, train=True)
+
+            def loss(params):
+                outs, _ = model.apply(
+                    {"params": params, "batch_stats": v["batch_stats"]},
+                    left, right, train=True, mutable=["batch_stats"],
+                )
+                return sum(jnp.mean(o) for o in outs)
+
+            l, g = jax.value_and_grad(loss)(v["params"])
+            paths = [
+                "/".join(str(k.key) for k in p)
+                for p, _ in jax.tree_util.tree_flatten_with_path(g)[0]
+            ]
+            gsum = float(
+                sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(g))
+            )
+            if ref is None:
+                ref = (paths, float(l), gsum)
+            else:
+                assert paths == ref[0], f"param paths changed under {policy}"
+                assert float(l) == pytest.approx(ref[1], rel=1e-5), policy
+                assert gsum == pytest.approx(ref[2], rel=1e-4), policy
+
+    def test_unknown_remat_rejected(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(ganet_small(max_disp=24), remat="bogus")
+        with pytest.raises(ValueError, match="remat"):
+            GANet(cfg).init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 48, 96, 3)),
+                jnp.zeros((1, 48, 96, 3)),
+                train=True,
+            )

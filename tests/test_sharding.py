@@ -73,7 +73,7 @@ class TestShardedSGA:
     def test_wavefront_chunks_match_unsharded(self, rng, mesh4, chunks):
         # chunks > 1 exercises the true wavefront schedule (several chunks
         # in flight across shards), including a W not divisible by the
-        # requested chunk count (5 -> falls back to a divisor).
+        # requested chunk count (5 -> ceil-width chunks, last overlapping).
         B, D, H, W, C = 1, 5, 8, 12, 2
         x = jnp.asarray(rng.standard_normal((B, D, H, W, C)).astype(np.float32))
         w = l1_normalize(
@@ -116,6 +116,49 @@ class TestShardedSGA:
         x = jnp.zeros((1, 4, 8, 6, 1))
         with pytest.raises(ValueError, match=r"\(4, 5\)"):
             sharded_sga(x, jnp.zeros((1, 8, 6, 1, 5, 4)), mesh4)
+
+    def test_overlapping_tail_chunks_match_unsharded(self, rng, mesh4):
+        """W=10 with chunks=3 -> ceil-width 4, starts (0, 4, 6): the last
+        chunk OVERLAPS the previous one (columns are independent in a
+        vertical sweep so recompute is exact) — forward and grads."""
+        from ganet_tpu.parallel.sharded_sga import chunk_layout
+
+        assert chunk_layout(10, 3) == (4, [0, 4, 6])
+        B, D, H, W, C = 1, 4, 8, 10, 2
+        x = jnp.asarray(rng.standard_normal((B, D, H, W, C)).astype(np.float32))
+        w = l1_normalize(
+            jnp.asarray(rng.standard_normal((B, H, W, C, 4, 5)).astype(np.float32)),
+            axis=-1,
+        )
+        want = np.asarray(sga_ref(x, w))
+        got = np.asarray(sharded_sga(x, w, mesh4, chunks=3))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        g_sh = jax.grad(
+            lambda a, b: jnp.sum(sharded_sga(a, b, mesh4, chunks=3) ** 2),
+            argnums=(0, 1),
+        )(x, w)
+        g_ref = jax.grad(
+            lambda a, b: jnp.sum(sga_ref(a, b) ** 2), argnums=(0, 1)
+        )(x, w)
+        for a, b in zip(g_sh, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
+
+    def test_pipeline_stats_fused_beats_unfused(self):
+        """The fused tb/bt wavefront's critical path must beat two
+        sequential pipelines, and the production-proportioned case (S=4,
+        W=320 -> 3 lane-width chunks) must reach >= 70% utilization (the
+        old divide-only 2-chunk schedule ran at 40%)."""
+        from ganet_tpu.parallel.sharded_sga import chunk_layout, pipeline_stats
+
+        Wc, starts = chunk_layout(320, 0)
+        assert Wc == 128 and len(starts) == 3
+        s = pipeline_stats(4, len(starts))
+        assert s["critical_chunk_sweeps"] < s["unfused_chunk_sweeps"]
+        assert s["utilization"] >= 0.70, s
+        # Deep pipeline limit: utilization -> 1 as chunks >> shards.
+        assert pipeline_stats(4, 64)["utilization"] > 0.9
 
 
 class TestModelSpatialSharding:
