@@ -89,9 +89,11 @@ class SGABlock(nn.Module):
 class DispHead(nn.Module):
     """Aggregated volume -> disparity map (reference `Disp`):
     3D conv C->1, trilinear upsample x3 (D, H, W), softmax over negated
-    cost, expectation."""
+    cost, expectation.  The full-res volume stays H-sharded under a mesh
+    (softmax/regression only reduce over the local D axis)."""
 
     cfg: ModelConfig
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -108,6 +110,7 @@ class DispHead(nn.Module):
         D = cfg.max_disp
         H, W = x.shape[2] * 3, x.shape[3] * 3
         x = trilinear_upsample(x.astype(jnp.float32), (D, H, W))
+        x = constrain_volume(x, self.mesh)
         p = nn.softmax(-x, axis=1)
         return disparity_regression(p, D)
 
@@ -115,9 +118,15 @@ class DispHead(nn.Module):
 class DispAggHead(nn.Module):
     """Final head with LGA refinement (reference `DispAgg`): LGA before the
     softmax (cost sharpening) and after it (probability sharpening), then
-    re-normalization and expectation."""
+    re-normalization and expectation.
+
+    With a mesh whose 'space' axis is >1, the full-resolution (B, D, H, W)
+    volume — the model's largest tensor — stays H-sharded end to end: the
+    upsample/softmax run under a sharding constraint and the LGA stencils
+    run as halo-exchange shard_maps (parallel/sharded_lga.py)."""
 
     cfg: ModelConfig
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(
@@ -141,14 +150,25 @@ class DispAggHead(nn.Module):
         D = cfg.max_disp
         H, W = x.shape[2] * 3, x.shape[3] * 3
         x = trilinear_upsample(x.astype(jnp.float32), (D, H, W))
+        x = constrain_volume(x, self.mesh)
         lg1 = l1_normalize(lg1.astype(jnp.float32), axis=-1)
         lg2 = l1_normalize(lg2.astype(jnp.float32), axis=-1)
         x = dispatch.lga(
-            x, lg1, radius=r, repeats=cfg.lga_repeats, impl=cfg.sga_impl
+            x,
+            lg1,
+            radius=r,
+            repeats=cfg.lga_repeats,
+            impl=cfg.sga_impl,
+            mesh=self.mesh,
         )
         p = nn.softmax(-x, axis=1)
         p = dispatch.lga(
-            p, lg2, radius=r, repeats=cfg.lga_repeats, impl=cfg.sga_impl
+            p,
+            lg2,
+            radius=r,
+            repeats=cfg.lga_repeats,
+            impl=cfg.sga_impl,
+            mesh=self.mesh,
         )
         # Re-normalize to a probability distribution (reference
         # F.normalize(p=1)); clamp the denominator for safety.
@@ -253,7 +273,7 @@ class CostAggregation(nn.Module):
         x = conv3(C, relu=False)(cv, train)
         x = maybe_sga_full(x)
         if train:
-            outputs.append(Head(cfg, name="disp0")(x, train))
+            outputs.append(Head(cfg, mesh=self.mesh, name="disp0")(x, train))
 
         rem = [None] * (levels + 1)
         rem[0] = x
@@ -283,7 +303,7 @@ class CostAggregation(nn.Module):
             if not last_cycle:
                 if train:
                     outputs.append(
-                        Head(cfg, name=f"disp{cycle + 1}")(x, train)
+                        Head(cfg, mesh=self.mesh, name=f"disp{cycle + 1}")(x, train)
                     )
                 # Re-descent.
                 for i in range(levels):
@@ -295,7 +315,7 @@ class CostAggregation(nn.Module):
                     rem[i + 1] = x
 
         outputs.append(
-            AggHead(cfg, name="disp_final")(
+            AggHead(cfg, mesh=self.mesh, name="disp_final")(
                 x, guidance["lg1"], guidance["lg2"], train
             )
         )

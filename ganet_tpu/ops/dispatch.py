@@ -78,15 +78,39 @@ def lga(
     radius: int = 2,
     repeats: int = 1,
     impl: str = "auto",
+    mesh=None,
+    space_axis: str = "space",
+    batch_axis: str = "data",
 ) -> jnp.ndarray:
+    """LGA with implementation + distribution dispatch.
+
+    When `mesh` is given and its `space_axis` has more than one shard, the
+    full-resolution stencil runs H-sharded under shard_map with a radius-r
+    halo ppermute (parallel/sharded_lga.py) — the DispAgg head's (B, D, H,
+    W) volume, the model's largest tensor, is never gathered.
+    """
     impl = resolve_impl(impl)
+    if (
+        mesh is not None
+        and mesh.shape.get(space_axis, 1) > 1
+        and x.shape[2] % mesh.shape[space_axis] == 0
+        and x.shape[2] // mesh.shape[space_axis] >= radius
+    ):
+        from ganet_tpu.parallel.sharded_lga import sharded_lga
+
+        return sharded_lga(
+            x,
+            g,
+            mesh,
+            radius=radius,
+            repeats=repeats,
+            axis_name=space_axis,
+            batch_axis=batch_axis if mesh.shape.get(batch_axis, 1) > 1 else None,
+            impl=impl,
+        )
     if impl == "pallas":
-        try:
-            from ganet_tpu.ops import lga_pallas
-        except ImportError:
-            # Pallas LGA kernel not built yet: the scan formulation runs on
-            # TPU (bandwidth-suboptimal; kernel is the planned upgrade).
-            return _lga_scan(x, g, radius=radius, repeats=repeats)
+        from ganet_tpu.ops import lga_pallas
+
         return lga_pallas.lga(x, g, radius=radius, repeats=repeats)
     return _lga_scan(x, g, radius=radius, repeats=repeats)
 

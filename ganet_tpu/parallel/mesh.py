@@ -58,11 +58,23 @@ def volume_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", "disp", "space"))
 
 
+def fullres_volume_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, D, H, W) full-resolution head volumes: batch over 'data', height
+    over 'space'.  D stays local — the head's softmax/regression reduce
+    over it and the LGA stencil couples d-1/d/d+1."""
+    return NamedSharding(mesh, P("data", None, "space"))
+
+
 def constrain_volume(x, mesh: Optional[Mesh]):
-    """with_sharding_constraint to the conv-phase volume layout (no-op
-    without a mesh or when the volume axes don't divide the mesh)."""
+    """with_sharding_constraint to the conv-phase (5D) or full-res head
+    (4D) volume layout (no-op without a mesh or when the volume axes don't
+    divide the mesh)."""
     if mesh is None:
         return x
+    if x.ndim == 4:
+        if x.shape[0] % mesh.shape["data"] or x.shape[2] % mesh.shape["space"]:
+            return x
+        return jax.lax.with_sharding_constraint(x, fullres_volume_sharding(mesh))
     if (
         x.shape[0] % mesh.shape["data"]
         or x.shape[1] % mesh.shape["disp"]

@@ -190,7 +190,7 @@ def main(argv=None):
                 "shape": f"{args.height}x{args.width}",
                 "batch": b,
                 "remat": args.remat,
-                "error": f"{type(e).__name__}: {str(e)[:300]}",
+                "error": f"{type(e).__name__}: {str(e)[:2000]}",
             }
         results.append(r)
         print(json.dumps(r), flush=True)
