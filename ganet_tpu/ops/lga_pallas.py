@@ -170,30 +170,46 @@ def _make_fwd_kernel_v2(K: int, Dt: int, Ht: int, Wk: int, nD: int):
     return kernel
 
 
-def _lga_once(x: jnp.ndarray, g75: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """x (B, D, H, W), g75 (B, 75, H, W) pre-normalized -> (B, D, H, W)."""
-    B, D, H, W = x.shape
-    K = 2 * radius + 1
-    r = radius
+def _select_tiles(W: int, K: int, x_isize: int, g_isize: int):
+    """(Ht, Dt, Wk) of the v2 forward kernel under the VMEM budget.
+
+    Tile sizing under the 16 MB VMEM budget (wider images scale the
+    full-width rows linearly — a fixed Ht/Dt OOMed at W=1248):
+    double-buffered window 2*(Dt+2)*(Ht+16)*Wk + resident guidance
+    75*Ht*Wk + double-buffered out 2*Dt*Ht*Wk.  Prefer big Ht (halo
+    amortization) then big Dt (D-halo amortization); measured neutral
+    between (16, 8) and (16, 16) at W=960 f32 — the kernel is VPU-bound,
+    so shrinking tiles on wide images costs little.
+
+    (32, 16) is deliberately absent from the preference table: at Wk=640
+    f32 (the 240x528 training crop) it passes the budget check but CRASHES
+    the Mosaic TPU compiler (remote compile-helper subprocess abort,
+    isolated round 3 — the Dt x Ht unroll at full row width appears to
+    exceed a compiler limit); (32, 8) and (16, 16) are measured
+    performance-neutral, so nothing is lost by skipping it.
+    """
+    r = (K - 1) // 2
     Wk = _round_up(W + 2 * r, _LANES_W)
-    # Tile sizing under the 16 MB VMEM budget (wider images scale the
-    # full-width rows linearly — a fixed Ht/Dt OOMed at W=1248):
-    # double-buffered window 2*(Dt+2)*(Ht+16)*Wk + resident guidance
-    # 75*Ht*Wk + double-buffered out 2*Dt*Ht*Wk.  Prefer big Ht (halo
-    # amortization) then big Dt (D-halo amortization); measured neutral
-    # between (16, 8) and (16, 16) at W=960 f32 — the kernel is
-    # VPU-bound, so shrinking tiles on wide images costs little.
-    x_isize = jnp.dtype(x.dtype).itemsize
-    g_isize = jnp.dtype(g75.dtype).itemsize
     budget = 13 * 1024 * 1024
     Ht, Dt = 8, 2
-    for ht, dt in ((32, 16), (32, 8), (16, 16), (16, 8), (8, 8), (8, 4)):
+    for ht, dt in ((32, 8), (16, 16), (16, 8), (8, 8), (8, 4)):
         win = 2 * (dt + 2) * (ht + 2 * _HALO_H) * Wk * x_isize
         gbuf = 3 * K * K * ht * Wk * g_isize
         outbuf = 2 * dt * ht * Wk * x_isize
         if win + gbuf + outbuf <= budget:
             Ht, Dt = ht, dt
             break
+    return Ht, Dt, Wk
+
+
+def _lga_once(x: jnp.ndarray, g75: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """x (B, D, H, W), g75 (B, 75, H, W) pre-normalized -> (B, D, H, W)."""
+    B, D, H, W = x.shape
+    K = 2 * radius + 1
+    r = radius
+    Ht, Dt, Wk = _select_tiles(
+        W, K, jnp.dtype(x.dtype).itemsize, jnp.dtype(g75.dtype).itemsize
+    )
     Hp = _round_up(H, Ht)
     Dp = _round_up(D, Dt)
     nD = Dp // Dt

@@ -35,7 +35,7 @@ def human(n):
     return f"{n / 2**30:.2f} GiB" if n is not None else "n/a"
 
 
-def bench_one(model, H, W, D, dtype, batch, remat, lr, steps):
+def bench_one(model, H, W, D, dtype, batch, remat, lr, steps, impl="auto"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -52,7 +52,9 @@ def bench_one(model, H, W, D, dtype, batch, remat, lr, steps):
     from ganet_tpu.train.trainer import make_train_step
 
     cfg = TrainConfig(
-        model=model_config(model, max_disp=D, compute_dtype=dtype, remat=remat),
+        model=model_config(
+            model, max_disp=D, compute_dtype=dtype, remat=remat, sga_impl=impl
+        ),
         data=DataConfig(crop_height=H, crop_width=W, kind="synthetic"),
         optim=OptimConfig(lr=lr),
         mesh=MeshConfig(),
@@ -138,6 +140,7 @@ def bench_one(model, H, W, D, dtype, batch, remat, lr, steps):
         "dtype": dtype,
         "batch": batch,
         "remat": remat,
+        "impl": impl,
         "ms_per_step": round(sec_per_step * 1e3, 1),
         "pairs_per_s": round(batch / sec_per_step, 3),
         "loss": round(loss, 4),
@@ -157,6 +160,7 @@ def main(argv=None):
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--batches", default="1,2,4,8", help="comma list to probe")
     p.add_argument("--remat", default="none", help="none | sga | full")
+    p.add_argument("--impl", default="auto", help="auto | scan | pallas")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--steps", type=int, default=4, help="timed chain length")
     p.add_argument("--json", default="", help="append results to this file")
@@ -183,6 +187,7 @@ def main(argv=None):
                 args.remat,
                 args.lr,
                 args.steps,
+                impl=args.impl,
             )
         except Exception as e:
             r = {

@@ -99,9 +99,12 @@ def main() -> int:
         if dtype == jnp.bfloat16:
             # Semantics drift vs the f32 oracle is dominated by bf16
             # max-tie routing (inherent — the bf16 scan oracle shows the
-            # same profile); gate it loosely...
-            check_stat(f"sga_vjp_dx[{dt}] (vs f32 oracle)", gp[0], gs[0], 0.3, 0.05)
-            check_stat(f"sga_vjp_dw[{dt}] (vs f32 oracle)", gp[1], gs[1], 0.3, 0.08)
+            # same profile).  Gates are the round-2 measured envelope
+            # (p99 0.20 / frac 2.2%) with ~25-80% headroom so a GRADUAL
+            # compiled-kernel regression trips them (VERDICT r2 weak #3);
+            # a gross bug (wrong index/shift) pushes frac>0.1 past 50%.
+            check_stat(f"sga_vjp_dx[{dt}] (vs f32 oracle)", gp[0], gs[0], 0.25, 0.03)
+            check_stat(f"sga_vjp_dw[{dt}] (vs f32 oracle)", gp[1], gs[1], 0.25, 0.04)
             # (A compiled-vs-interpret cross-check was tried and dropped:
             # interpret-mode pallas through this box's remote-compile relay
             # exceeds any reasonable smoke budget even at reduced shapes.
@@ -110,6 +113,52 @@ def main() -> int:
         else:
             check(f"sga_vjp_dx[{dt}]", gp[0], gs[0], tol_g)
             check(f"sga_vjp_dw[{dt}]", gp[1], gs[1], tol_g)
+
+    # --- seeded sweeps: the wavefront pipeline's local unit of work ------
+    # (the newest kernels — boundary carry in VMEM, dL/dseed VJP — were
+    # absent from the round-2 on-chip gate; VERDICT r2 #6)
+    from ganet_tpu.ops.sga import sga_sweep as sweep_scan
+
+    B, D, H, W, C = 1, 32, 48, 128, 8
+    x = jax.random.normal(ks[0], (B, D, H, W, C), jnp.float32)
+    w = l1_normalize(
+        jax.random.uniform(ks[1], (B, H, W, C, 5), jnp.float32) + 0.1,
+        axis=-1,
+    )
+    seed = jax.random.normal(ks[2], (B, D, W, C), jnp.float32)
+    for reverse in (False, True):
+        tag = "rev" if reverse else "fwd"
+        want = jax.jit(
+            lambda a, b, s: sweep_scan(
+                a, b, "h", reverse, initial=s, initial_valid=True
+            )
+        )(x, w, seed)
+        got = jax.jit(
+            lambda a, b, s: sga_pallas.sga_sweep(
+                a, b, "h", reverse, initial=s, initial_valid=True
+            )
+        )(x, w, seed)
+        check(f"sga_seeded_{tag}[float32]", got, want, 2e-5)
+
+        def loss_sp(a, b, s):
+            return jnp.sum(
+                sga_pallas.sga_sweep(
+                    a, b, "h", reverse, initial=s, initial_valid=True
+                )
+                ** 2
+            )
+
+        def loss_ss(a, b, s):
+            return jnp.sum(
+                sweep_scan(a, b, "h", reverse, initial=s, initial_valid=True)
+                ** 2
+            )
+
+        gp = jax.jit(jax.grad(loss_sp, argnums=(0, 1, 2)))(x, w, seed)
+        gs = jax.jit(jax.grad(loss_ss, argnums=(0, 1, 2)))(x, w, seed)
+        check(f"sga_seeded_{tag}_vjp_dx[float32]", gp[0], gs[0], 2e-4)
+        check(f"sga_seeded_{tag}_vjp_dw[float32]", gp[1], gs[1], 2e-4)
+        check(f"sga_seeded_{tag}_vjp_dseed[float32]", gp[2], gs[2], 2e-4)
 
     # --- LGA: full-res head filtering, reduced size -----------------------
     B, D, H, W = 1, 48, 96, 256

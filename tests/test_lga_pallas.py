@@ -117,3 +117,25 @@ class TestLGAPallasFuzz:
             np.testing.assert_allclose(
                 np.asarray(gp), np.asarray(gs), rtol=1e-4, atol=1e-4
             )
+
+
+class TestTileSelection:
+    def test_crash_config_never_selected(self):
+        """(Ht=32, Dt=16) crashes the Mosaic TPU compiler at Wk=640 f32
+        (240x528 training crop, isolated round 3) — the selector must never
+        produce it, at any width/dtype."""
+        from ganet_tpu.ops.lga_pallas import _select_tiles
+
+        for W in range(64, 1400, 16):
+            for xi, gi in ((4, 4), (2, 2), (2, 4)):
+                ht, dt, _ = _select_tiles(W, 5, xi, gi)
+                assert (ht, dt) != (32, 16), (W, xi, gi)
+
+    def test_known_shapes(self):
+        """Pin the production configs: 240x528 f32 -> (32, 8) (the fixed
+        crash shape), 576x960 f32 -> (16, 16) (round-2 measured config,
+        unchanged by the fix)."""
+        from ganet_tpu.ops.lga_pallas import _select_tiles
+
+        assert _select_tiles(528, 5, 4, 4)[:2] == (32, 8)
+        assert _select_tiles(960, 5, 4, 4)[:2] == (16, 16)
