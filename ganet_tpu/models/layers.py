@@ -77,42 +77,6 @@ def conv3d_via_2d(
     return out.reshape(B, Do, Ho, Wo, out.shape[-1])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def conv3d_fused(x: jnp.ndarray, kernel: jnp.ndarray, out_dtype) -> jnp.ndarray:
-    """Stride-1 3x3x3 'SAME' conv via the fused Pallas kernel
-    (ops/conv3d_pallas.py) with a custom VJP.
-
-    Backward: dx is itself a stride-1 3x3x3 conv (spatially flipped,
-    io-transposed kernel) and routes through the same Pallas kernel; dW is
-    XLA's grad-of-conv (a well-shaped MXU contraction over all pixels),
-    taken from the oracle lowering's VJP."""
-    from ganet_tpu.ops.conv3d_pallas import conv3d_pallas
-
-    return conv3d_pallas(x, kernel, out_dtype=out_dtype)
-
-
-def _conv3d_fused_fwd(x, kernel, out_dtype):
-    return conv3d_fused(x, kernel, out_dtype), (x, kernel)
-
-
-def _conv3d_fused_bwd(out_dtype, res, g):
-    from ganet_tpu.ops.conv3d_pallas import conv3d_pallas, supported
-
-    x, kernel = res
-    kt = jnp.flip(kernel, axis=(0, 1, 2)).swapaxes(3, 4)
-    g = g.astype(x.dtype)
-    if supported(g.shape, kt.shape, 1):
-        dx = conv3d_pallas(g, kt, out_dtype=x.dtype)
-    else:
-        dx = conv3d_via_2d(g, kt, 1, out_dtype=x.dtype)
-    _, vjp_k = jax.vjp(lambda k: conv3d_via_2d(x, k, 1, out_dtype=out_dtype), kernel)
-    (dk,) = vjp_k(g.astype(out_dtype))
-    return dx, dk
-
-
-conv3d_fused.defvjp(_conv3d_fused_fwd, _conv3d_fused_bwd)
-
-
 class FastConv3d(nn.Module):
     """Drop-in 3x3x3 'SAME' conv module computing via conv3d_via_2d.
 
@@ -147,24 +111,15 @@ class FastConv3d(nn.Module):
                 preferred_element_type=self.dtype,
             )
         else:
-            import os
-
-            from ganet_tpu.ops.conv3d_pallas import supported
-            from ganet_tpu.ops.dispatch import resolve_impl
-
-            # Experimental: the fused Pallas conv currently trails XLA's
-            # decomposed lowering at the flagship shape (16.9 vs 14.0 ms —
-            # the 9 K=Cin matmuls + partial-sum adds lose to XLA's conv
-            # emitter; see ops/conv3d_pallas.py).  Opt in with
-            # GANET_CONV3D=pallas until it wins.
-            if (
-                os.environ.get("GANET_CONV3D") == "pallas"
-                and resolve_impl("auto") == "pallas"
-                and supported(xc.shape, kc.shape, self.stride)
-            ):
-                y = conv3d_fused(xc, kc, jnp.dtype(self.dtype))
-            else:
-                y = conv3d_via_2d(xc, kc, self.stride, out_dtype=self.dtype)
+            # A fused Pallas conv3d was built and RETIRED (round 3): two
+            # kernel variants (nine K=Cin matmuls; im2col with K=9*Cin and
+            # 3*Cout-packed output lanes) plus a Th=8..32 tile sweep all
+            # floor at ~14 ms at the flagship shape regardless of Cin —
+            # a FLOP-independent bound — while XLA's decomposed lowering
+            # scales with FLOPs and wins at every measured shape (14.3 ms
+            # at Cin=64, 8.2 ms at Cin=32, bf16 taps).  See README
+            # "Roofline accounting" for the full negative result.
+            y = conv3d_via_2d(xc, kc, self.stride, out_dtype=self.dtype)
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32

@@ -168,27 +168,13 @@ def main(argv=None):
             )
             return out
 
+        # NOTE: two Pallas conv3d kernels were benchmarked here and RETIRED
+        # in round 3 (see models/layers.py FastConv3d): taps-variant
+        # (9 K=Cin matmuls) 17.1 ms, im2col (K=9*Cin, 3*Cout output lanes)
+        # 14.7 ms, Th 8->32 sweep 14.6->14.0 ms — a FLOP-independent ~14 ms
+        # floor at both Cin=64 and Cin=32, vs via2d_bf16's 14.3 / 8.2 ms.
         print(f"--- {cname}  {xshape} -> C{Cout} s{stride}  ({gf:.1f} GFLOP)")
         if stride == 1:
-            from ganet_tpu.ops.conv3d_pallas import conv3d_pallas, supported
-
-            if supported(xshape, (3, 3, 3, Cin, Cout), stride):
-                bench(
-                    f"{cname}/pallas_taps",
-                    lambda x, k: conv3d_pallas(
-                        x, k, out_dtype=dtype, variant="taps"
-                    ),
-                    x,
-                    k3d,
-                )
-                bench(
-                    f"{cname}/pallas_im2col",
-                    lambda x, k: conv3d_pallas(
-                        x, k, out_dtype=dtype, variant="im2col"
-                    ),
-                    x,
-                    k3d,
-                )
             bench(f"{cname}/dsplit", dsplit, x, k3d)
             bench(
                 f"{cname}/dsplit_bf16",
@@ -224,7 +210,7 @@ def main(argv=None):
             )
         for n in (
             "native3d", "via2d", "via2d_bf16", "dconcat", "dconcat_bf16",
-            "dsplit", "dsplit_bf16", "pallas_taps", "pallas_im2col",
+            "dsplit", "dsplit_bf16",
         ):
             key_ = f"{cname}/{n}"
             if key_ in results:
