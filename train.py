@@ -60,6 +60,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--bf16", type=int, default=0, help="bfloat16 conv compute")
     p.add_argument("--sga_impl", type=str, default="auto",
                    choices=["auto", "scan", "pallas"])
+    p.add_argument("--remat", type=str, default="none",
+                   choices=["none", "sga", "full"],
+                   help="rematerialization policy: trade backward "
+                        "recompute for activation memory (remat=full fits "
+                        "batch 4 of the 240x528 crop on one 16 GiB chip)")
     p.add_argument("--distributed", type=int, default=0,
                    help="multi-host: jax.distributed.initialize() before "
                         "building the mesh (coordinator from the standard "
@@ -84,6 +89,7 @@ def build_config(args: argparse.Namespace) -> TrainConfig:
         max_disp=args.max_disp,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         sga_impl=args.sga_impl,
+        remat=args.remat,
     )
     return TrainConfig(
         model=model,
