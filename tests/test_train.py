@@ -331,3 +331,18 @@ class TestTrainer:
         # weighted: (1*1000 + 9*1) / 1001 ~= 1.008, NOT the batch mean 5.0
         assert m["epe"] == pytest.approx((1000 + 9) / 1001.0)
         t.close()
+
+
+class TestCLIConfig:
+    def test_remat_flag_plumbs_to_model_config(self):
+        import train as train_cli
+
+        args = train_cli.parse_args(
+            ["--synthetic_data", "1", "--remat", "full", "--model",
+             "GANet_small", "--max_disp", "24", "--crop_height", "48",
+             "--crop_width", "96"]
+        )
+        cfg = train_cli.build_config(args)
+        assert cfg.model.remat == "full"
+        args = train_cli.parse_args(["--synthetic_data", "1"])
+        assert train_cli.build_config(args).model.remat == "none"
