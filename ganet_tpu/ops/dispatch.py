@@ -56,13 +56,18 @@ def sga(
     if mesh is not None and mesh.shape.get(space_axis, 1) > 1:
         from ganet_tpu.parallel.sharded_sga import sharded_sga
 
+        data_shards = mesh.shape.get(batch_axis, 1)
         return sharded_sga(
             x,
             weights,
             mesh,
             axis_name=space_axis,
             chunks=chunks,
-            batch_axis=batch_axis if mesh.shape.get(batch_axis, 1) > 1 else None,
+            # Shard batch only when it divides (batch-1 eval on a data>1
+            # training mesh keeps the batch replicated instead of erroring).
+            batch_axis=batch_axis
+            if data_shards > 1 and x.shape[0] % data_shards == 0
+            else None,
             impl=impl,
         )
     if impl == "pallas":
@@ -98,6 +103,7 @@ def lga(
     ):
         from ganet_tpu.parallel.sharded_lga import sharded_lga
 
+        data_shards = mesh.shape.get(batch_axis, 1)
         return sharded_lga(
             x,
             g,
@@ -105,7 +111,9 @@ def lga(
             radius=radius,
             repeats=repeats,
             axis_name=space_axis,
-            batch_axis=batch_axis if mesh.shape.get(batch_axis, 1) > 1 else None,
+            batch_axis=batch_axis
+            if data_shards > 1 and x.shape[0] % data_shards == 0
+            else None,
             impl=impl,
         )
     if impl == "pallas":

@@ -503,3 +503,31 @@ class TestDataParallelEquivalence:
             jax.jit(f, in_shardings=(sh, None), out_shardings=sh)(xs, k)
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestIndivisibleBatch:
+    def test_batch1_eval_on_data_mesh(self, rng):
+        """Batch-1 inference on a (data=2, space=2) TRAINING mesh must run
+        with the batch replicated (shard_map would otherwise reject
+        B=1 % data=2) — the predict.py-after-distributed-training path."""
+        if jax.device_count() < 4:
+            pytest.skip("needs >= 4 devices")
+        from ganet_tpu.config import ganet_small
+        from ganet_tpu.models import GANet
+
+        mesh = make_mesh(MeshConfig(data=2, space=2, disp=1))
+        cfg = ganet_small(max_disp=24, sga_impl="scan")
+        model = GANet(cfg, mesh=mesh)
+        l = jnp.asarray(rng.standard_normal((1, 48, 96, 3)).astype(np.float32))
+        r = jnp.asarray(rng.standard_normal((1, 48, 96, 3)).astype(np.float32))
+        v = model.init(jax.random.PRNGKey(0), l, r, train=True)
+        out = jax.jit(lambda v, a, b: model.apply(v, a, b, train=False))(
+            v, l, r
+        )
+        assert out.shape == (1, 48, 96)
+        assert np.isfinite(np.asarray(out)).all()
+        # parity vs the unsharded model
+        want = GANet(cfg).apply(v, l, r, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
