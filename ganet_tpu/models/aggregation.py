@@ -23,7 +23,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from ganet_tpu.config import ModelConfig
-from ganet_tpu.models.layers import BasicConv, Conv2x, channel_schedule
+from ganet_tpu.models.layers import (
+    BasicConv,
+    Conv2x,
+    FastConv3d,
+    channel_schedule,
+)
 from ganet_tpu.ops import dispatch
 from ganet_tpu.ops.disparity import disparity_regression, trilinear_upsample
 from ganet_tpu.ops.normalize import l1_normalize, normalize_weights
@@ -98,20 +103,24 @@ class DispHead(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cfg = self.cfg
-        x = nn.Conv(
-            1,
-            (3, 3, 3),
-            padding="SAME",
-            use_bias=False,
-            dtype=jnp.dtype(cfg.compute_dtype),
-            kernel_init=nn.initializers.he_normal(),
+        # Cout=1 conv: depth-tap output packing (FastConv3d -> conv3d_dsplit,
+        # 13.1 -> 4.1 ms at the flagship shape vs the native 3D conv).  The
+        # explicit name keeps the parameter path of the nn.Conv this
+        # replaces ("Conv_0"/kernel, same DHWIO shape) so checkpoints are
+        # unaffected.
+        x = FastConv3d(
+            1, 3, use_bias=False, dtype=jnp.dtype(cfg.compute_dtype),
+            name="Conv_0",
         )(x)
         x = x[..., 0]  # (B, Dr, H3, W3)
         D = cfg.max_disp
         H, W = x.shape[2] * 3, x.shape[3] * 3
-        x = trilinear_upsample(x.astype(jnp.float32), (D, H, W))
+        x = trilinear_upsample(
+            x.astype(jnp.dtype(cfg.resolved_head_dtype)), (D, H, W)
+        )
         x = constrain_volume(x, self.mesh)
-        p = nn.softmax(-x, axis=1)
+        # Softmax/expectation accumulate in f32 regardless of head_dtype.
+        p = nn.softmax(-x.astype(jnp.float32), axis=1)
         return disparity_regression(p, D)
 
 
@@ -138,21 +147,19 @@ class DispAggHead(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.cfg
         r = cfg.lga_radius
-        x = nn.Conv(
-            1,
-            (3, 3, 3),
-            padding="SAME",
-            use_bias=False,
-            dtype=jnp.dtype(cfg.compute_dtype),
-            kernel_init=nn.initializers.he_normal(),
+        # Cout=1 conv via depth-tap output packing (see DispHead).
+        x = FastConv3d(
+            1, 3, use_bias=False, dtype=jnp.dtype(cfg.compute_dtype),
+            name="Conv_0",
         )(x)
         x = x[..., 0]
         D = cfg.max_disp
         H, W = x.shape[2] * 3, x.shape[3] * 3
-        x = trilinear_upsample(x.astype(jnp.float32), (D, H, W))
+        hd = jnp.dtype(cfg.resolved_head_dtype)
+        x = trilinear_upsample(x.astype(hd), (D, H, W))
         x = constrain_volume(x, self.mesh)
-        lg1 = l1_normalize(lg1.astype(jnp.float32), axis=-1)
-        lg2 = l1_normalize(lg2.astype(jnp.float32), axis=-1)
+        lg1 = l1_normalize(lg1.astype(jnp.float32), axis=-1).astype(hd)
+        lg2 = l1_normalize(lg2.astype(jnp.float32), axis=-1).astype(hd)
         x = dispatch.lga(
             x,
             lg1,
@@ -161,7 +168,9 @@ class DispAggHead(nn.Module):
             impl=cfg.sga_impl,
             mesh=self.mesh,
         )
-        p = nn.softmax(-x, axis=1)
+        # Softmax accumulates in f32; the materialized probabilities stay in
+        # head_dtype for the second LGA pass.
+        p = nn.softmax(-x.astype(jnp.float32), axis=1).astype(hd)
         p = dispatch.lga(
             p,
             lg2,
@@ -170,10 +179,16 @@ class DispAggHead(nn.Module):
             impl=cfg.sga_impl,
             mesh=self.mesh,
         )
-        # Re-normalize to a probability distribution (reference
-        # F.normalize(p=1)); clamp the denominator for safety.
-        p = p / jnp.maximum(jnp.sum(jnp.abs(p), axis=1, keepdims=True), 1e-6)
-        return disparity_regression(p, D)
+        # Re-normalization to a probability distribution (reference
+        # F.normalize(p=1)) fused with the expectation: dividing the
+        # expectation by the per-pixel mass is algebraically identical to
+        # normalizing the volume first, but skips one full-resolution
+        # volume round trip (measured 2.5 -> 1.2 ms).  f32 accumulation.
+        pf = p.astype(jnp.float32)
+        d_vals = jnp.arange(D, dtype=jnp.float32).reshape(1, D, 1, 1)
+        num = jnp.sum(pf * d_vals, axis=1)
+        den = jnp.maximum(jnp.sum(jnp.abs(pf), axis=1), 1e-6)
+        return num / den
 
 
 class CostAggregation(nn.Module):

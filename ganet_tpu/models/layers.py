@@ -77,10 +77,116 @@ def conv3d_via_2d(
     return out.reshape(B, Do, Ho, Wo, out.shape[-1])
 
 
+def conv3d_dsplit(
+    x: jnp.ndarray, kernel: jnp.ndarray, out_dtype=None
+) -> jnp.ndarray:
+    """Stride-1 'SAME' 3D conv with the kd=3 depth taps packed into OUTPUT
+    channels of one 2D conv, combined by a D-shifted add.
+
+    For tiny Cout this triples the MXU lane utilization and replaces three
+    conv dispatches with one: the disparity heads' 3x3x3 32->1 conv
+    (reference `Disp`/`DispAgg` heads, models/GANet_deep.py) runs 13.1 ms
+    as a native 3D conv and 5.1 ms decomposed (conv3d_via_2d), but 4.1 ms
+    in this formulation (measured 576x960 D=192 bf16, v5e).  At Cout=32 it
+    is neutral vs conv3d_via_2d (scripts/bench_conv3d.py `dsplit`), so
+    FastConv3d routes only small feature counts here.
+    """
+    B, D, H, W, Cin = x.shape
+    kd = kernel.shape[0]
+    if kd != 3:
+        raise ValueError(f"conv3d_dsplit requires kd=3, got {kd}")
+    Cout = kernel.shape[-1]
+    k2 = jnp.concatenate([kernel[dz] for dz in range(kd)], axis=-1)
+    y = lax.conv_general_dilated(
+        x.reshape(B * D, H, W, Cin),
+        k2,
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=out_dtype or jnp.float32,
+    ).reshape(B, D, H, W, kd, Cout)
+    # 'SAME' over D with kd=3: out(d) = y0(d-1) + y1(d) + y2(d+1).
+    zrow = jnp.zeros_like(y[:, :1, ..., 0, :])
+    out = y[:, :, ..., 1, :]
+    out = out + jnp.concatenate([zrow, y[:, :-1, ..., 0, :]], axis=1)
+    out = out + jnp.concatenate([y[:, 1:, ..., 2, :], zrow], axis=1)
+    return out
+
+
+class FoldableBN(nn.Module):
+    """BatchNorm with nn.BatchNorm's exact variable layout (params
+    scale/bias, batch_stats mean/var under the same "BatchNorm_0"-style
+    path — checkpoint-interchangeable) whose eval-time affine can be FOLDED
+    into the preceding conv's kernel and bias.
+
+    Why: XLA does not fuse elementwise producers/consumers into convolution
+    custom calls, so conv -> BN -> ReLU costs one full extra volume pass
+    per conv at eval (measured 2.15 ms per full-res aggregation pass,
+    scripts/profile_agg.py `sga_tail_bn_relu`).  With k' = k*s and
+    b' = bias - mean*s where s = scale/sqrt(var+eps), the BN is exactly
+    free: the bias+relu epilogue rides the depth-tap-sum fusion that
+    conv3d_via_2d already pays for.  Standard inference BN folding — a
+    deployment transform the reference (PyTorch BatchNorm3d) never shipped.
+    """
+
+    channels: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.channels,), jnp.float32
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.channels,), jnp.float32
+        )
+        self.ra_mean = self.variable(
+            "batch_stats",
+            "mean",
+            lambda: jnp.zeros((self.channels,), jnp.float32),
+        )
+        self.ra_var = self.variable(
+            "batch_stats",
+            "var",
+            lambda: jnp.ones((self.channels,), jnp.float32),
+        )
+
+    def affine(self):
+        """(s, t) such that eval-mode BN(x) == x * s + t (f32)."""
+        s = self.scale / jnp.sqrt(self.ra_var.value + self.epsilon)
+        return s, self.bias - self.ra_mean.value * s
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if not train:
+            s, t = self.affine()
+            return (
+                x.astype(self.dtype) * s.astype(self.dtype)
+                + t.astype(self.dtype)
+            )
+        red = tuple(range(x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        m = jnp.mean(xf, axis=red)
+        v = jnp.mean(jnp.square(xf), axis=red) - jnp.square(m)
+        if not self.is_initializing():
+            # Running stats update mirrors nn.BatchNorm (biased variance).
+            self.ra_mean.value = (
+                self.momentum * self.ra_mean.value + (1.0 - self.momentum) * m
+            )
+            self.ra_var.value = (
+                self.momentum * self.ra_var.value + (1.0 - self.momentum) * v
+            )
+        s = self.scale / jnp.sqrt(v + self.epsilon)
+        return ((xf - m) * s + self.bias).astype(self.dtype)
+
+
 class FastConv3d(nn.Module):
     """Drop-in 3x3x3 'SAME' conv module computing via conv3d_via_2d.
 
-    Same parameter structure as nn.Conv (kernel DHWIO, optional bias)."""
+    Same parameter structure as nn.Conv (kernel DHWIO, optional bias).
+    `scale`/`offset` call args apply a folded per-output-channel affine
+    (see FoldableBN): kernel is pre-scaled in f32 and the offset rides the
+    epilogue fusion."""
 
     features: int
     kernel_size: int = 3
@@ -89,7 +195,9 @@ class FastConv3d(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, scale=None, offset=None
+    ) -> jnp.ndarray:
         k = self.kernel_size
         kernel = self.param(
             "kernel",
@@ -97,6 +205,8 @@ class FastConv3d(nn.Module):
             (k, k, k, x.shape[-1], self.features),
             jnp.float32,
         )
+        if scale is not None:
+            kernel = kernel * scale
         xc = x.astype(self.dtype)
         kc = kernel.astype(self.dtype)
         if self.stride > 1:
@@ -110,6 +220,10 @@ class FastConv3d(nn.Module):
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
                 preferred_element_type=self.dtype,
             )
+        elif self.features <= 4 and self.kernel_size == 3:
+            # Tiny output widths (the heads' C->1 convs): depth-tap output
+            # packing beats the batched-2D decomposition (see conv3d_dsplit).
+            y = conv3d_dsplit(xc, kc, out_dtype=self.dtype)
         else:
             # A fused Pallas conv3d was built and RETIRED (round 3): two
             # kernel variants (nine K=Cin matmuls; im2col with K=9*Cin and
@@ -125,6 +239,8 @@ class FastConv3d(nn.Module):
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
             y = y + bias
+        if offset is not None:
+            y = y + offset.astype(y.dtype)
         return y.astype(self.dtype)
 
 
@@ -145,6 +261,7 @@ class BasicConv(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dims = 3 if self.is_3d else 2
         strides = (self.stride,) * dims
+        fast3d = self.is_3d and not self.deconv and self.dilation == 1
         if self.deconv:
             # Stride-2 deconv uses a 4-wide kernel for exact 2x upsampling
             # (reference uses ConvTranspose(kernel=4, stride=2, padding=1)).
@@ -158,15 +275,32 @@ class BasicConv(nn.Module):
                 dtype=self.dtype,
                 kernel_init=nn.initializers.he_normal(),
             )(x)
-        elif self.is_3d and self.dilation == 1:
-            # Hot path: every 3D conv in the aggregation hourglass.
-            x = FastConv3d(
+        elif fast3d:
+            # Hot path: every 3D conv in the aggregation hourglass.  At
+            # eval the BatchNorm is folded into the conv (FoldableBN) —
+            # same variable tree, one fewer full-volume pass per conv.
+            conv = FastConv3d(
                 self.features,
                 kernel_size=self.kernel_size,
                 stride=self.stride,
                 use_bias=not self.use_bn,
                 dtype=self.dtype,
-            )(x)
+                name="FastConv3d_0",
+            )
+            if self.use_bn:
+                bn = FoldableBN(
+                    self.features, dtype=self.dtype, name="BatchNorm_0"
+                )
+                if train:
+                    x = bn(conv(x), train=True)
+                else:
+                    s, t = bn.affine()
+                    x = conv(x, scale=s, offset=t)
+            else:
+                x = conv(x)
+            if self.relu:
+                x = nn.relu(x)
+            return x
         else:
             x = nn.Conv(
                 self.features,

@@ -566,8 +566,10 @@ def sga_sweep(x, w, axis: str, reverse: bool, initial=None, initial_valid=None):
 def sga(x: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """Full SGA (max over four directional Pallas sweeps); same contract as
     ops.sga.sga.  The volume is canonicalized once per axis (not per
-    direction) and the direction pair is max-fused in canonical space,
-    halving the transpose traffic around the kernels."""
+    direction), the direction pair is max-fused in canonical space, and the
+    cross-axis max happens in the "h" canonical layout — one layout
+    transform + fused max instead of two transforms and a separate
+    full-volume max pass."""
     if weights.shape[-2:] != (4, 5):
         raise ValueError(f"weights must end in (4, 5), got {weights.shape}")
     per_axis = []
@@ -579,7 +581,7 @@ def sga(x: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
         a_rev = _sweep_canonical(
             xk, _w_to_canonical(weights[..., d_rev, :], axis), True
         )
-        per_axis.append(
-            _from_canonical(jnp.maximum(a_fwd, a_rev), x.shape, axis)
-        )
-    return jnp.maximum(per_axis[0], per_axis[1])
+        per_axis.append(jnp.maximum(a_fwd, a_rev))
+    # w-canonical (N, W, D, H) -> h-canonical (N, H, D, W).
+    a_wh = jnp.transpose(per_axis[0], (0, 3, 2, 1))
+    return _from_canonical(jnp.maximum(a_wh, per_axis[1]), x.shape, "h")

@@ -136,10 +136,6 @@ def _fused_vertical_sweeps(
     nchunks = len(starts)
     starts_arr = jnp.asarray(starts, jnp.int32)
 
-    logging.getLogger(__name__).info(
-        "sga wavefront: %s", pipeline_stats(S, nchunks)
-    )
-
     stage_tb = idx
     stage_bt = S - 1 - idx
     perm_fwd = [(i, i + 1) for i in range(S - 1)]
@@ -234,6 +230,14 @@ def sharded_sga(
     """
     if weights.shape[-2:] != (4, 5):
         raise ValueError(f"weights must end in (4, 5), got {weights.shape}")
+    S = mesh.shape[axis_name]
+    if S > 1:
+        # Outside the traced body (ADVICE r3): inside shard_map this fired
+        # only at trace time and re-logged on every recompile.
+        _, starts = chunk_layout(x.shape[3], chunks)
+        logging.getLogger(__name__).debug(
+            "sga wavefront: %s", pipeline_stats(S, len(starts))
+        )
     spec_x = P(batch_axis, None, axis_name, None, None)
     spec_w = P(batch_axis, axis_name, None, None, None, None)
     # check_vma=False: pallas_call custom-calls inside the body don't carry

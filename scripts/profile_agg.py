@@ -219,6 +219,53 @@ def main(argv=None):
         k_pre,
     )
 
+    # --- SGA-block TAIL dissection (the BN/relu/refine-conv/residual after
+    # the sweeps: block 29.2 ms - sweeps 11.4 - prep 0.3 leaves ~17.5 ms
+    # unaccounted at round-4 start) --------------------------------------
+    class _TailBNRelu(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = nn.BatchNorm(
+                use_running_average=True, momentum=0.9, epsilon=1e-5,
+                dtype=dtype,
+            )(x)
+            return nn.relu(y)
+
+    class _TailFull(nn.Module):
+        cfg: object
+
+        @nn.compact
+        def __call__(self, x, rem):
+            y = nn.BatchNorm(
+                use_running_average=True, momentum=0.9, epsilon=1e-5,
+                dtype=dtype,
+            )(x)
+            y = nn.relu(y)
+            y = BasicConv(32, 3, is_3d=True, relu=False, dtype=dtype)(y, False)
+            return nn.relu(y + rem.astype(y.dtype))
+
+    tb = _TailBNRelu()
+    tbv = jax.jit(lambda k: tb.init(k, x_full))(key)
+    stages["sga_tail_bn_relu"] = (lambda x, v: tb.apply(v, x), x_full, tbv)
+
+    tf_ = _TailFull(cfg)
+    tfv = jax.jit(lambda k: tf_.init(k, x_full, x_full))(key)
+    stages["sga_tail_full(bn+relu+conv+bn+res)"] = (
+        lambda x, v, rem: tf_.apply(v, x, rem),
+        x_full,
+        tfv,
+        x_full,
+    )
+
+    # refine conv alone (BasicConv includes its own BN)
+    rc = BasicConv(32, 3, is_3d=True, relu=False, dtype=dtype)
+    rcv = jax.jit(lambda k: rc.init(k, x_full, False))(key)
+    stages["sga_refine_conv(32to32+bn)"] = (
+        lambda x, v: rc.apply(v, x, False),
+        x_full,
+        rcv,
+    )
+
     only = [s for s in args.only.split(",") if s]
     for name, (fn, x, *rest) in stages.items():
         if only and not any(o in name for o in only):

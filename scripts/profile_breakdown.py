@@ -24,6 +24,7 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--max_disp", type=int, default=192)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--head_dtype", default="")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--only", default="", help="comma-separated stage filter")
     p.add_argument(
@@ -135,7 +136,11 @@ def main(argv=None):
     from ganet_tpu.models.feature import FeatureNet
     from ganet_tpu.models.guidance import GuidanceNet
 
-    cfg = ganet_deep(max_disp=D, compute_dtype=args.dtype)
+    cfg = ganet_deep(
+        max_disp=D,
+        compute_dtype=args.dtype,
+        **({"head_dtype": args.head_dtype} if args.head_dtype else {}),
+    )
     img = jax.random.normal(ks[2], (2 * NB, H, W, 3), jnp.float32)
     fnet = FeatureNet(cfg)
     fvars = jax.jit(lambda k: fnet.init(k, img, False))(key)

@@ -172,6 +172,105 @@ class TestFastConv3d:
         assert np.isfinite(np.asarray(gx)).all()
         assert np.isfinite(np.asarray(gk)).all()
 
+    def test_dsplit_matches_lax_conv3d(self, rng):
+        """Depth-tap output packing (the heads' Cout=1 path) must equal the
+        native 3D conv."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        from ganet_tpu.models.layers import conv3d_dsplit
+
+        x = jnp.asarray(rng.standard_normal((2, 5, 8, 9, 6)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, 6, 1)).astype(np.float32))
+        want = lax.conv_general_dilated(
+            x, k, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        got = conv3d_dsplit(x, k)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+
+class TestFoldableBN:
+    """FoldableBN must be a drop-in for nn.BatchNorm (same variable tree,
+    same numerics both modes) and BasicConv's eval-time fold must equal the
+    unfolded conv -> BN -> relu chain."""
+
+    def test_matches_nn_batchnorm(self, rng):
+        import flax.linen as nn
+        import jax
+        import jax.numpy as jnp
+
+        from ganet_tpu.models.layers import FoldableBN
+
+        key = jax.random.PRNGKey(1)
+        x = jnp.asarray(
+            rng.standard_normal((2, 4, 6, 5)).astype(np.float32) * 3 + 1
+        )
+        mine = FoldableBN(5)
+        vm = mine.init(key, x, True)
+        ym, um = mine.apply(vm, x, True, mutable=["batch_stats"])
+        ref = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+        vr = ref.init(key, x)
+        yr, ur = ref.apply(vr, x, mutable=["batch_stats"])
+        np.testing.assert_allclose(
+            np.asarray(yr), np.asarray(ym), rtol=1e-5, atol=1e-5
+        )
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(ur["batch_stats"][k]),
+                np.asarray(um["batch_stats"][k]),
+                rtol=1e-5,
+                atol=1e-5,
+            )
+        refe = nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5)
+        yre = refe.apply(
+            {"params": vr["params"], "batch_stats": ur["batch_stats"]}, x
+        )
+        yme = mine.apply(
+            {"params": vm["params"], "batch_stats": um["batch_stats"]}, x, False
+        )
+        np.testing.assert_allclose(
+            np.asarray(yre), np.asarray(yme), rtol=1e-5, atol=1e-5
+        )
+
+    def test_basicconv_fold_matches_unfolded(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from ganet_tpu.models.layers import BasicConv, FastConv3d, FoldableBN
+
+        key = jax.random.PRNGKey(0)
+        x = jnp.asarray(
+            rng.standard_normal((2, 4, 6, 8, 3)).astype(np.float32)
+        )
+        bc = BasicConv(5, 3, is_3d=True, relu=True, dtype=jnp.float32)
+        v = bc.init(key, x, True)
+        # variable tree identical to the nn.BatchNorm-era layout
+        assert set(v["params"]["BatchNorm_0"]) == {"scale", "bias"}
+        assert set(v["batch_stats"]["BatchNorm_0"]) == {"mean", "var"}
+        _, upd = bc.apply(v, x, True, mutable=["batch_stats"])
+        v2 = {"params": v["params"], "batch_stats": upd["batch_stats"]}
+        y_fold = bc.apply(v2, x, False)
+        yc = FastConv3d(5, 3, dtype=jnp.float32).apply(
+            {"params": v2["params"]["FastConv3d_0"]}, x
+        )
+        yb = FoldableBN(5).apply(
+            {
+                "params": v2["params"]["BatchNorm_0"],
+                "batch_stats": v2["batch_stats"]["BatchNorm_0"],
+            },
+            yc,
+            False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_fold),
+            np.asarray(jnp.maximum(yb, 0)),
+            rtol=2e-5,
+            atol=2e-5,
+        )
+
 
 class TestRemat:
     def test_remat_policies_preserve_params_and_grads(self):
