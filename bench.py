@@ -108,16 +108,33 @@ def main(argv=None):
         f"latency={sec_per_call * 1e3:.1f}ms",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"stereo_pairs_per_sec_per_chip_{H}x{W}_{cfg.name}",
-                "value": round(pairs_per_s, 4),
-                "unit": "pairs/s/chip",
-                "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
-            }
+    payload = {
+        "metric": f"stereo_pairs_per_sec_per_chip_{H}x{W}_{cfg.name}",
+        "value": round(pairs_per_s, 4),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
+    }
+    if B > 1 and not args.quick:
+        # Latency-vs-latency companion (VERDICT r3 #6): the headline is a
+        # batch-B throughput metric; carry the single-pair number in the
+        # same artifact so vs_baseline has an apples-to-apples reading
+        # against the reference's (batch-1) leaderboard runtime.
+        sec_b1 = benchmark_fn_chained(
+            run, left[:1], variables, right[:1],
+            iters_low=1, iters_high=max(3, args.iters // 2),
         )
-    )
+        payload["batch"] = B
+        payload["batch1_latency_ms"] = round(sec_b1 * 1e3, 1)
+        payload["batch1_pairs_per_s"] = round(1.0 / sec_b1, 4)
+        payload["batch1_vs_baseline"] = round(
+            1.0 / sec_b1 / BASELINE_PAIRS_PER_S, 3
+        )
+        print(
+            f"# batch1 latency={sec_b1 * 1e3:.1f}ms "
+            f"pairs/s={1.0 / sec_b1:.3f}",
+            file=sys.stderr,
+        )
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -105,7 +105,13 @@ def pipeline_stats(S: int, chunks: int) -> dict:
 
 
 def _fused_vertical_sweeps(
-    x, w_tb, w_bt, axis_name: str, chunks: int = 0, impl: str = "scan"
+    x,
+    w_tb,
+    w_bt,
+    axis_name: str,
+    chunks: int = 0,
+    impl: str = "scan",
+    force_pipeline: bool = False,
 ):
     """Both vertical (along-H) sweeps inside shard_map, run as ONE fused
     WAVEFRONT pipeline over W-chunks.
@@ -125,7 +131,7 @@ def _fused_vertical_sweeps(
     S = lax.axis_size(axis_name)
     B, D, Hl, W, C = x.shape
 
-    if S == 1:
+    if S == 1 and not force_pipeline:
         return (
             _local_seeded_sweep(x, w_tb, False, None, None, impl),
             _local_seeded_sweep(x, w_bt, True, None, None, impl),
@@ -189,7 +195,12 @@ def _fused_vertical_sweeps(
 
 
 def _sharded_sga_local(
-    x, w, axis_name: str, chunks: int = 0, impl: str = "scan"
+    x,
+    w,
+    axis_name: str,
+    chunks: int = 0,
+    impl: str = "scan",
+    force_pipeline: bool = False,
 ):
     """Full SGA on an H-sharded local block: 2 local horizontal sweeps, 2
     pipelined vertical sweeps, max fusion.
@@ -201,7 +212,8 @@ def _sharded_sga_local(
     out_lr = _local_horizontal_sweep(x, w[..., 0, :], False, impl)
     out_rl = _local_horizontal_sweep(x, w[..., 1, :], True, impl)
     out_tb, out_bt = _fused_vertical_sweeps(
-        x, w[..., 2, :], w[..., 3, :], axis_name, chunks, impl
+        x, w[..., 2, :], w[..., 3, :], axis_name, chunks, impl,
+        force_pipeline,
     )
     return jnp.maximum(
         jnp.maximum(out_lr, out_rl), jnp.maximum(out_tb, out_bt)
@@ -216,6 +228,7 @@ def sharded_sga(
     chunks: int = 0,
     batch_axis: Optional[str] = None,
     impl: str = "scan",
+    force_pipeline: bool = False,
 ) -> jnp.ndarray:
     """SGA over a cost volume sharded along H on `axis_name`.
 
@@ -227,6 +240,10 @@ def sharded_sga(
     'data' so the global batch stays data-parallel through the shard_map
     instead of being gathered).  `impl` selects the local sweep kernel
     ('scan' oracle or 'pallas' for the horizontal sweeps).
+    `force_pipeline` runs the chunked wavefront machinery (fori_loop +
+    cond + dynamic slices + ppermute) even at S=1, where it is pure
+    overhead — used by scripts/bench_wavefront.py to measure the
+    machinery's fixed cost on one real chip.
     """
     if weights.shape[-2:] != (4, 5):
         raise ValueError(f"weights must end in (4, 5), got {weights.shape}")
@@ -245,7 +262,11 @@ def sharded_sga(
     # see through them (numerics are unaffected; parity is tested).
     fn = jax.shard_map(
         functools.partial(
-            _sharded_sga_local, axis_name=axis_name, chunks=chunks, impl=impl
+            _sharded_sga_local,
+            axis_name=axis_name,
+            chunks=chunks,
+            impl=impl,
+            force_pipeline=force_pipeline,
         ),
         mesh=mesh,
         in_specs=(spec_x, spec_w),

@@ -36,6 +36,14 @@ def main(argv=None):
     p.add_argument("--channels", type=int, default=8)
     p.add_argument("--chunks", default="1,2,3,4,8")
     p.add_argument("--impl", default="scan")
+    p.add_argument(
+        "--single_shard",
+        action="store_true",
+        help="S=1 overhead mode for one real chip (VERDICT r3 #4): plain "
+        "sga vs sharded_sga S=1 vs the chunked wavefront machinery forced "
+        "on — isolates the fori_loop/cond/dynamic-slice/ppermute fixed "
+        "cost the static utilization model does not account for",
+    )
     args = p.parse_args(argv)
 
     apply_platform_overrides()
@@ -52,17 +60,60 @@ def main(argv=None):
     )
     from ganet_tpu.utils.profiling import benchmark_fn_chained
 
-    mesh = make_mesh(MeshConfig(data=1, space=args.space, disp=1))
+    space = 1 if args.single_shard else args.space
+    mesh = make_mesh(MeshConfig(data=1, space=space, disp=1))
     key = jax.random.PRNGKey(0)
+    dtype = jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") else None
     x = jax.random.normal(
-        key, (1, args.disp, args.height, args.width, args.channels)
+        key, (1, args.disp, args.height, args.width, args.channels), dtype
     )
     w = l1_normalize(
         jax.random.uniform(
-            key, (1, args.height, args.width, args.channels, 4, 5)
+            key, (1, args.height, args.width, args.channels, 4, 5),
+            jnp.float32,
         ),
         axis=-1,
     )
+    if dtype is not None:
+        w = w.astype(dtype)
+
+    if args.single_shard:
+        from ganet_tpu.ops import dispatch
+
+        def emit(name, fn, extra=None):
+            sec = benchmark_fn_chained(fn, x, w, iters_low=2, iters_high=4)
+            print(
+                json.dumps(
+                    {
+                        "mode": name,
+                        "wall_ms": round(sec * 1e3, 2),
+                        "backend": jax.default_backend(),
+                        "shape": list(x.shape),
+                        **(extra or {}),
+                    }
+                ),
+                flush=True,
+            )
+
+        emit(
+            "plain_sga",
+            lambda a, b: dispatch.sga(a, b, impl=args.impl),
+        )
+        emit(
+            "sharded_S1",
+            lambda a, b: sharded_sga(a, b, mesh, impl=args.impl),
+        )
+        for chunks in [int(c) for c in args.chunks.split(",") if int(c) > 1]:
+            _, starts = chunk_layout(args.width, chunks)
+            emit(
+                f"pipeline_S1_chunks{len(starts)}",
+                lambda a, b, c=chunks: sharded_sga(
+                    a, b, mesh, chunks=c, impl=args.impl, force_pipeline=True
+                ),
+                {"chunks": len(starts)},
+            )
+        return
+
     for chunks in [int(c) for c in args.chunks.split(",")]:
         sec = benchmark_fn_chained(
             lambda a, b: sharded_sga(

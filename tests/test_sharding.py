@@ -145,6 +145,25 @@ class TestShardedSGA:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
             )
 
+    def test_force_pipeline_single_shard_matches(self, rng):
+        """force_pipeline=True runs the chunked wavefront machinery at S=1
+        (the on-chip overhead-measurement mode, bench_wavefront
+        --single_shard): numerics must be identical to the plain op."""
+        mesh = make_mesh(MeshConfig(data=1, space=1, disp=1))
+        B, D, H, W, C = 1, 6, 12, 10, 2
+        x = jnp.asarray(rng.standard_normal((B, D, H, W, C)).astype(np.float32))
+        w = l1_normalize(
+            jnp.asarray(
+                rng.standard_normal((B, H, W, C, 4, 5)).astype(np.float32)
+            ),
+            axis=-1,
+        )
+        want = np.asarray(sga_ref(x, w))
+        got = np.asarray(
+            sharded_sga(x, w, mesh, chunks=3, force_pipeline=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
     def test_pipeline_stats_fused_beats_unfused(self):
         """The fused tb/bt wavefront's critical path must beat two
         sequential pipelines, and the production-proportioned case (S=4,
