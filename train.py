@@ -69,6 +69,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="multi-host: jax.distributed.initialize() before "
                         "building the mesh (coordinator from the standard "
                         "JAX env vars / TPU metadata)")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches staged by the background input thread; 0 "
+                        "disables the thread (required on hosts whose "
+                        "remote-TPU client is not thread-safe — the axon "
+                        "relay here wedges after ~30 steps with it on)")
     p.add_argument("--compile_cache", type=int, default=1,
                    help="persistent XLA compilation cache")
     return p.parse_args(argv)
@@ -101,6 +106,7 @@ def build_config(args: argparse.Namespace) -> TrainConfig:
             crop_width=args.crop_width,
             kind=kind,
             left_right=bool(args.left_right),
+            num_prefetch=args.prefetch,
         ),
         optim=OptimConfig(
             lr=args.lr,
