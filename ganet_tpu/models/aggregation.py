@@ -31,7 +31,7 @@ from ganet_tpu.models.layers import (
 )
 from ganet_tpu.ops import dispatch
 from ganet_tpu.ops.disparity import disparity_regression, trilinear_upsample
-from ganet_tpu.ops.normalize import l1_normalize
+from ganet_tpu.ops.normalize import l1_normalize, normalize_weights
 from ganet_tpu.parallel.mesh import constrain_volume
 
 
@@ -59,16 +59,21 @@ class SGABlock(nn.Module):
                 f"guidance must have {4 * 5 * C} channels, got {g.shape}"
             )
         rem = x
-        # Packing: head emits (dir, weight, channel) fastest-last; the
-        # packed dispatch normalizes the 5-weight sets (l1 | softmax,
+        B, H, W = g.shape[0], g.shape[1], g.shape[2]
+        # Packing: head emits (dir, weight, channel) fastest-last; regroup to
+        # (B, H, W, C, 4, 5) and normalize the 5-weight sets (l1 | softmax,
         # cfg.sga_norm — see ops/normalize.py for the open reference
-        # question) in a lane-efficient layout instead of materializing
-        # (B, H, W, C, 4, 5), whose 5-wide minor dim reads at ~4% lane
-        # efficiency around the kernels.
+        # question).  A "packed" alternative that canonicalized straight
+        # from the raw (B,H,W,640) layout (to dodge this tensor's 5-wide
+        # minor dim) was built and MEASURED WORSE at batch 4 (1070 ->
+        # 1269 ms full model) and neutral at batch 1 — reverted round 4;
+        # XLA evidently fuses this unpack into the downstream transposes
+        # better than the hand-chosen transpose order.
         dtype = jnp.dtype(cfg.compute_dtype)
-        x = dispatch.sga_packed(
-            x, g, norm=cfg.sga_norm, impl=cfg.sga_impl, mesh=self.mesh
-        )
+        k = g.reshape(B, H, W, 4, 5, C)
+        k = jnp.moveaxis(k, -1, 3)  # (B, H, W, C, 4, 5)
+        k = normalize_weights(k, cfg.sga_norm, axis=-1)
+        x = dispatch.sga(x, k, impl=cfg.sga_impl, mesh=self.mesh)
         # dtype= throughout: a dtype-less flax layer silently promotes the
         # full-res volume to f32 (2x HBM traffic per pass — measured ~17 ms
         # of glue per block at bf16 before this was pinned).

@@ -77,44 +77,6 @@ def sga(
     return _sga_scan(x, weights)
 
 
-def sga_packed(
-    x: jnp.ndarray,
-    g: jnp.ndarray,
-    norm: str = "l1",
-    impl: str = "auto",
-    mesh=None,
-    space_axis: str = "space",
-    batch_axis: str = "data",
-    chunks: int = 0,
-) -> jnp.ndarray:
-    """SGA from RAW packed guidance (B, H, W, 4*5*C) — see
-    sga_pallas.sga_packed.  The unsharded Pallas path canonicalizes the
-    guidance with lane-efficient transposes; other paths unpack to the
-    (B, H, W, C, 4, 5) layout and route through `sga`."""
-    impl = resolve_impl(impl)
-    sharded = mesh is not None and mesh.shape.get(space_axis, 1) > 1
-    if impl == "pallas" and not sharded:
-        from ganet_tpu.ops import sga_pallas
-
-        return sga_pallas.sga_packed(x, g, norm=norm)
-    from ganet_tpu.ops.normalize import normalize_weights
-
-    B, H, W = g.shape[0], g.shape[1], g.shape[2]
-    C = x.shape[-1]
-    k = g.reshape(B, H, W, 4, 5, C)
-    k = jnp.moveaxis(k, -1, 3)  # (B, H, W, C, 4, 5)
-    k = normalize_weights(k, norm, axis=-1)
-    return sga(
-        x,
-        k,
-        impl=impl,
-        mesh=mesh,
-        space_axis=space_axis,
-        batch_axis=batch_axis,
-        chunks=chunks,
-    )
-
-
 def lga(
     x: jnp.ndarray,
     g: jnp.ndarray,

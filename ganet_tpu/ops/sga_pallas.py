@@ -563,43 +563,6 @@ def sga_sweep(x, w, axis: str, reverse: bool, initial=None, initial_valid=None):
     return _from_canonical(out, x.shape, axis)
 
 
-def sga_packed(x: jnp.ndarray, g: jnp.ndarray, norm: str = "l1") -> jnp.ndarray:
-    """Full SGA from RAW packed guidance (B, H, W, 4*5*C), channel order
-    (direction, weight, channel) fastest-last — the guidance head's native
-    output (reference SGA module packing, libGANet/module/GANet.py).
-
-    Why a separate entry: the unpacked layout (B, H, W, C, 4, 5) has a
-    5-wide minor dimension, so every per-direction slice reads at ~5/128
-    lane efficiency.  This path transposes the raw tensor once
-    ((B,H,W,640) -> (B,640,H,W): full-lane read AND write), normalizes the
-    5-weight sets with W on the lanes, and slices each direction's
-    canonical (N, L, 5, M) weights with efficient transposes.  Numerics
-    are identical to sga(x, normalize(unpack(g))).
-    """
-    from ganet_tpu.ops.normalize import normalize_weights
-
-    B, D, H, W, C = x.shape
-    if g.shape[-1] != 4 * 5 * C:
-        raise ValueError(f"guidance must have {4 * 5 * C} channels, got {g.shape}")
-    gt = jnp.transpose(g, (0, 3, 1, 2)).reshape(B, 4, 5, C, H, W)
-    gt = normalize_weights(gt, norm, axis=2)
-
-    def wk(d, axis):
-        gd = gt[:, d]  # (B, 5, C, H, W)
-        if axis == "w":  # canonical (B*C, W, 5, H)
-            return jnp.transpose(gd, (0, 2, 4, 1, 3)).reshape(B * C, W, 5, H)
-        return jnp.transpose(gd, (0, 2, 3, 1, 4)).reshape(B * C, H, 5, W)
-
-    per_axis = []
-    for axis, (d_fwd, d_rev) in (("w", (0, 1)), ("h", (2, 3))):
-        xk = _x_to_canonical(x, axis)
-        a_fwd = _sweep_canonical(xk, wk(d_fwd, axis), False)
-        a_rev = _sweep_canonical(xk, wk(d_rev, axis), True)
-        per_axis.append(jnp.maximum(a_fwd, a_rev))
-    a_wh = jnp.transpose(per_axis[0], (0, 3, 2, 1))
-    return _from_canonical(jnp.maximum(a_wh, per_axis[1]), x.shape, "h")
-
-
 def sga(x: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """Full SGA (max over four directional Pallas sweeps); same contract as
     ops.sga.sga.  The volume is canonicalized once per axis (not per

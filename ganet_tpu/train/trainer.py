@@ -376,7 +376,11 @@ class Trainer:
             drop_remainder=False,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
-            prefetch=1,
+            # Honor the configured prefetch depth (was hardcoded 1: the
+            # prefetch thread wedges this box's remote-TPU client —
+            # round-4 root cause — and --prefetch 0 must disable it HERE
+            # too, not just in the train loop).
+            prefetch=min(1, cfg.data.num_prefetch),
         )
         # Pixel-weighted aggregation: each batch's masked means are scaled
         # back up by its valid-pixel count, so sparse-GT batches (and the

@@ -51,42 +51,6 @@ class TestSGAPallasForward:
             np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
         )
 
-    @pytest.mark.parametrize("norm", ["l1", "softmax"])
-    def test_sga_packed_matches_unpack_path(self, rng, norm):
-        """sga_packed (raw (B,H,W,4*5*C) guidance, lane-efficient
-        canonicalization) must equal normalize(unpack(g)) -> sga, forward
-        AND gradient (it is the SGABlock fast path)."""
-        from ganet_tpu.ops.normalize import normalize_weights
-
-        B, D, H, W, C = 1, 5, 8, 9, 3
-        x = jnp.asarray(rng.standard_normal((B, D, H, W, C)).astype(np.float32))
-        g = jnp.asarray(
-            rng.standard_normal((B, H, W, 4 * 5 * C)).astype(np.float32)
-        )
-
-        def ref(x, g):
-            k = jnp.moveaxis(g.reshape(B, H, W, 4, 5, C), -1, 3)
-            return _sga_scan(x, normalize_weights(k, norm, axis=-1))
-
-        want = ref(x, g)
-        got = sga_pallas.sga_packed(x, g, norm)
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
-        )
-        gx, gg = jax.grad(
-            lambda a, b: jnp.sum(sga_pallas.sga_packed(a, b, norm) ** 2),
-            argnums=(0, 1),
-        )(x, g)
-        rx, rg = jax.grad(
-            lambda a, b: jnp.sum(ref(a, b) ** 2), argnums=(0, 1)
-        )(x, g)
-        np.testing.assert_allclose(
-            np.asarray(gx), np.asarray(rx), rtol=1e-4, atol=1e-4
-        )
-        np.testing.assert_allclose(
-            np.asarray(gg), np.asarray(rg), rtol=1e-4, atol=1e-4
-        )
-
 
 class TestSGAPallasBackward:
     @pytest.mark.parametrize(
