@@ -65,7 +65,7 @@ def main(argv=None):
 
     from ganet_tpu.config import model_config
     from ganet_tpu.models import GANet
-    from ganet_tpu.utils.profiling import benchmark_fn_chained
+    from ganet_tpu.utils.profiling import benchmark_fn_chained, drift_probe_ms
 
     cfg = model_config(
         args.model,
@@ -101,11 +101,16 @@ def main(argv=None):
     )
     pairs_per_s = B / sec_per_call
 
+    # Pinned fixed-shape probe: quantifies chip-state drift between runs
+    # (VERDICT r4 #1a).  Expected ~constant across sessions; if the model
+    # latency moves but the probe doesn't, the change is real.
+    probe_ms = drift_probe_ms()
+
     print(
         f"# model={cfg.name} {H}x{W} D={cfg.max_disp} batch={B} "
         f"dtype={args.dtype} impl={args.impl} backend={jax.default_backend()} "
         f"init={init_s:.1f}s compile={compile_s:.1f}s "
-        f"latency={sec_per_call * 1e3:.1f}ms",
+        f"latency={sec_per_call * 1e3:.1f}ms probe={probe_ms:.2f}ms",
         file=sys.stderr,
     )
     payload = {
@@ -113,6 +118,7 @@ def main(argv=None):
         "value": round(pairs_per_s, 4),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
+        "probe_ms": round(probe_ms, 2),
     }
     if B > 1 and not args.quick:
         # Latency-vs-latency companion (VERDICT r3 #6): the headline is a

@@ -165,6 +165,11 @@ class DataConfig:
     left_right: bool = False  # also return right-view GT (reference --left_right)
     shuffle: bool = True
     num_prefetch: int = 2
+    # Synthetic-only: thin the GT valid mask to ≈ this fraction with a
+    # KITTI-LiDAR-like pattern (exercises the sparse-supervision fine-tune
+    # regime of the reference's --kitti2015 path without KITTI on disk).
+    # Real KITTI PNGs are naturally sparse; 0 disables.
+    sparse_frac: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -218,9 +218,25 @@ class SyntheticStereoDataset:
     seed: int = 0
     training: bool = True
     left_right: bool = False  # also emit right-view GT (see StereoDataset)
+    # KITTI-LiDAR-like sparse supervision (reference --kitti2015 fine-tune,
+    # SURVEY.md §3.5: KITTI GT covers ~30% of pixels, none in the upper
+    # frame where LiDAR has no returns).  0 = dense GT; >0 thins the valid
+    # mask to ≈ this fraction with a scanline-band pattern.
+    sparse_frac: float = 0.0
 
     def __len__(self) -> int:
         return self.length
+
+    def _lidar_mask(self, rng, H: int, W: int) -> "np.ndarray":
+        """KITTI-like sparse-GT mask at ≈ sparse_frac coverage: the top
+        ~30% of the frame has no returns, the rest is scanline bands
+        (every other row) with per-pixel dropout."""
+        top = int(H * 0.3)
+        band = np.zeros((H, W), np.float32)
+        band[top::2] = 1.0  # scanline rows
+        band_frac = band.mean()
+        p = min(1.0, self.sparse_frac / max(band_frac, 1e-6))
+        return band * (rng.random((H, W)) < p).astype(np.float32)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(self.seed * 100003 + index)
@@ -261,6 +277,8 @@ class SyntheticStereoDataset:
         left = wide_left[:, :W]
         disp = disp_wide[:, :W]
         valid = ((disp > 0) & (disp < self.max_disp)).astype(np.float32)
+        if self.sparse_frac > 0.0:
+            valid = valid * self._lidar_mask(rng, H, W)
         sample = {
             "left": left,
             "right": right,
@@ -277,9 +295,12 @@ class SyntheticStereoDataset:
                 )
                 disp_r[y] = disp_wide[y, src]
             sample["disparity_right"] = disp_r
-            sample["valid_right"] = (
-                (disp_r > 0) & (disp_r < self.max_disp)
-            ).astype(np.float32)
+            valid_r = ((disp_r > 0) & (disp_r < self.max_disp)).astype(
+                np.float32
+            )
+            if self.sparse_frac > 0.0:
+                valid_r = valid_r * self._lidar_mask(rng, H, W)
+            sample["valid_right"] = valid_r
         return sample
 
 
@@ -292,6 +313,7 @@ def get_training_set(cfg_data, max_disp: int):
             max_disp=max_disp,
             training=True,
             left_right=cfg_data.left_right,
+            sparse_frac=cfg_data.sparse_frac,
         )
     return StereoDataset(
         data_path=cfg_data.data_path,
@@ -314,6 +336,7 @@ def get_test_set(cfg_data, max_disp: int):
             max_disp=max_disp,
             length=16,
             training=False,
+            sparse_frac=cfg_data.sparse_frac,
         )
     return StereoDataset(
         data_path=cfg_data.data_path,

@@ -14,7 +14,7 @@ performance path — the MXU's native input type).
 from __future__ import annotations
 
 import functools
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -127,12 +127,20 @@ class FoldableBN(nn.Module):
     free: the bias+relu epilogue rides the depth-tap-sum fusion that
     conv3d_via_2d already pays for.  Standard inference BN folding — a
     deployment transform the reference (PyTorch BatchNorm3d) never shipped.
+
+    Cross-device stats: under the jit + NamedSharding data-parallel path
+    (the trainer's), XLA sees the GLOBAL batch, so train-mode stats are
+    already sync-BN with no extra plumbing.  Under shard_map (where each
+    program instance sees only its shard), set `axis_name` to pmean the
+    batch moments across that mesh axis — same knob nn.BatchNorm exposes
+    (ADVICE r4 #3).
     """
 
     channels: int
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
 
     def setup(self):
         self.scale = self.param(
@@ -167,7 +175,13 @@ class FoldableBN(nn.Module):
         red = tuple(range(x.ndim - 1))
         xf = x.astype(jnp.float32)
         m = jnp.mean(xf, axis=red)
-        v = jnp.mean(jnp.square(xf), axis=red) - jnp.square(m)
+        sq = jnp.mean(jnp.square(xf), axis=red)
+        if self.axis_name is not None:
+            # shard_map data parallelism: sync the raw moments so running
+            # stats and normalization see the global batch (sync-BN).
+            m = lax.pmean(m, self.axis_name)
+            sq = lax.pmean(sq, self.axis_name)
+        v = sq - jnp.square(m)
         if not self.is_initializing():
             # Running stats update mirrors nn.BatchNorm (biased variance).
             self.ra_mean.value = (

@@ -241,6 +241,16 @@ class Trainer:
                 steps_per_epoch,
                 mesh=self.mesh,
             )
+        # Host-side mirror of the optimizer's LR schedule so the step log
+        # carries the effective lr (makes the KITTI-style step decay
+        # auditable in the JSONL; VERDICT r4 #3).
+        if cfg.optim.decay_epoch is not None and steps_per_epoch:
+            boundary = cfg.optim.decay_epoch * steps_per_epoch
+            self.lr_at = lambda step: cfg.optim.lr * (
+                cfg.optim.decay_factor if step >= boundary else 1.0
+            )
+        else:
+            self.lr_at = lambda step: cfg.optim.lr
         train_keys = BATCH_KEYS + (
             ("disparity_right", "valid_right") if cfg.data.left_right else ()
         )
@@ -352,11 +362,9 @@ class Trainer:
                     prev_metrics = metrics
                     step += 1
                     if step % cfg.log_every == 0 or i == 0:
-                        self.logger.log(
-                            step,
-                            {k: float(v) for k, v in metrics.items()},
-                            prefix=f"epoch{epoch}",
-                        )
+                        row = {k: float(v) for k, v in metrics.items()}
+                        row["lr"] = self.lr_at(step - 1)  # lr used THIS step
+                        self.logger.log(step, row, prefix=f"epoch{epoch}")
             finally:
                 # Deterministically close the generator so its prefetch
                 # thread is reaped even when we broke out early.
@@ -376,10 +384,11 @@ class Trainer:
             drop_remainder=False,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
-            # Honor the configured prefetch depth (was hardcoded 1: the
-            # prefetch thread wedges this box's remote-TPU client —
-            # round-4 root cause — and --prefetch 0 must disable it HERE
-            # too, not just in the train loop).
+            # Eval intentionally clamps prefetch to 0/1 (the train iterator
+            # passes the configured depth through uncapped): eval runs are
+            # short and synchronous, so depth >1 buys nothing while holding
+            # an extra decoded batch in RAM; --prefetch 0 still disables the
+            # thread entirely (the round-4 remote-TPU-client wedge).
             prefetch=min(1, cfg.data.num_prefetch),
         )
         # Pixel-weighted aggregation: each batch's masked means are scaled

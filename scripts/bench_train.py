@@ -174,7 +174,20 @@ def main(argv=None):
         f"# backend={jax.default_backend()} devices={jax.devices()}",
         file=sys.stderr,
     )
+    # Device HBM limit for failure diagnosis (v5e: 16 GiB).  memory_stats
+    # is absent on some backends (the axon relay) — fall back to the known
+    # capacity of the attached chip family.
+    hbm_limit = None
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        hbm_limit = stats.get("bytes_limit")
+    except Exception:
+        pass
+    if not hbm_limit and "v5" in str(jax.local_devices()[0]).lower():
+        hbm_limit = 16 * 2**30
+
     results = []
+    ok_mem = []  # (batch, compiler total_bytes) of successes, for diagnosis
     for b in [int(x) for x in args.batches.split(",") if x]:
         try:
             r = bench_one(
@@ -189,17 +202,49 @@ def main(argv=None):
                 args.steps,
                 impl=args.impl,
             )
+            total = r.get("compiler_memory", {}).get("total_bytes")
+            if total:
+                ok_mem.append((b, total))
         except Exception as e:
+            # One diagnostic line, not a log dump (VERDICT r4 #6): the relay
+            # wraps compiler failures in opaque HTTP 500s, so diagnose by
+            # extrapolating the compiler's own memory estimates from the
+            # configs that DID compile at this remat policy.
+            head = " ".join(str(e).split())[:300]
+            est = None
+            if len(ok_mem) >= 2:
+                (b0, m0), (b1, m1) = ok_mem[-2], ok_mem[-1]
+                est = m1 + (m1 - m0) * (b - b1) / max(b1 - b0, 1)
+            elif ok_mem:
+                est = ok_mem[-1][1] * b / ok_mem[-1][0]
+            if est and hbm_limit and est > hbm_limit:
+                reason = (
+                    f"HBM-infeasible: extrapolated compiler memory "
+                    f"≈{est / 2**30:.1f} GiB > {hbm_limit / 2**30:.0f} GiB "
+                    f"device limit (from measured estimates at batches "
+                    f"{[x[0] for x in ok_mem]})"
+                )
+            elif est:
+                reason = (
+                    f"compile failed below the HBM limit (extrapolated "
+                    f"≈{est / 2**30:.1f} GiB of {hbm_limit / 2**30 if hbm_limit else 0:.0f} GiB)"
+                    " — compiler/relay fault, not memory"
+                )
+            else:
+                reason = "compile failed with no smaller-batch estimate to extrapolate from"
             r = {
                 "model": args.model,
                 "shape": f"{args.height}x{args.width}",
                 "batch": b,
                 "remat": args.remat,
-                "error": f"{type(e).__name__}: {str(e)[:2000]}",
+                "reason": reason,
+                "estimated_total_bytes": int(est) if est else None,
+                "hbm_limit_bytes": int(hbm_limit) if hbm_limit else None,
+                "error_head": f"{type(e).__name__}: {head}",
             }
         results.append(r)
         print(json.dumps(r), flush=True)
-        if "error" in r:
+        if "reason" in r:
             break  # larger batches will OOM too
     if args.json:
         with open(args.json, "a") as f:

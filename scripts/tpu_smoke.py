@@ -188,6 +188,49 @@ def main() -> int:
         check(f"lga_vjp_dx[{dt}]", gp[0], gs[0], tol_g)
         check(f"lga_vjp_dg[{dt}]", gp[1], gs[1], tol_g)
 
+    # --- bf16 head path (round-4 numerics: trilinear upsample -> LGA ->
+    # softmax -> LGA -> fused renorm/expectation, volumes stored in
+    # head_dtype, reductions in f32) — gate the END disparity map in
+    # PIXELS against the all-f32 head (VERDICT r4 #5: these numerics
+    # shipped in r4 with no on-chip gate).
+    from ganet_tpu.ops import dispatch
+    from ganet_tpu.ops.disparity import trilinear_upsample
+
+    def head_pipeline(vol3, lg1, lg2, hd):
+        D = vol3.shape[1] * 3
+        H, W = vol3.shape[2] * 3, vol3.shape[3] * 3
+        x2 = trilinear_upsample(vol3.astype(hd), (D, H, W))
+        g1 = l1_normalize(lg1.astype(jnp.float32), axis=-1).astype(hd)
+        g2 = l1_normalize(lg2.astype(jnp.float32), axis=-1).astype(hd)
+        x2 = dispatch.lga(x2, g1, radius=2, repeats=1, impl="pallas")
+        p = jnp.exp(jax.nn.log_softmax(-x2.astype(jnp.float32), axis=1)).astype(hd)
+        p = dispatch.lga(p, g2, radius=2, repeats=1, impl="pallas")
+        pf = p.astype(jnp.float32)
+        d_vals = jnp.arange(D, dtype=jnp.float32).reshape(1, D, 1, 1)
+        num = jnp.sum(pf * d_vals, axis=1)
+        den = jnp.maximum(jnp.sum(jnp.abs(pf), axis=1), 1e-6)
+        return num / den
+
+    B, D3, H3, W3 = 1, 16, 32, 80  # -> (48, 96, 240) full-res volume
+    vol3 = 4.0 * jax.random.normal(ks[0], (B, D3, H3, W3), jnp.float32)
+    lg1 = jax.random.uniform(ks[1], (B, H3 * 3, W3 * 3, 75), jnp.float32) + 0.1
+    lg2 = jax.random.uniform(ks[3], (B, H3 * 3, W3 * 3, 75), jnp.float32) + 0.1
+    want = jax.jit(lambda a, b, c: head_pipeline(a, b, c, jnp.float32))(
+        vol3, lg1, lg2
+    )
+    got = jax.jit(lambda a, b, c: head_pipeline(a, b, c, jnp.bfloat16))(
+        vol3, lg1, lg2
+    )
+    # Gate in disparity pixels: bf16 volume storage moves the regression
+    # by well under 0.5 px away from softmax ties (accuracy-gated in
+    # config.py: held-out EPE showed bf16 heads in-noise).
+    err_px = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
+    p99 = float(np.quantile(err_px, 0.99))
+    ok = p99 <= 0.5
+    print(f"{'head_bf16_vs_f32 (p99 px)':48s} p99_err_px={p99:.3f}  {'ok' if ok else 'FAIL'}")
+    if not ok:
+        failures.append("head_bf16_vs_f32")
+
     if failures:
         print(f"\nFAILED: {len(failures)} check(s): {failures}")
         return 1

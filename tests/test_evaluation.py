@@ -67,3 +67,64 @@ class TestOfflineEval:
         )
         assert result["epe"] > 5.0
         assert result["d1_all"] > 0.3
+
+
+class TestMeshRoutedCLIs:
+    """--space/--data mesh flags reach make_predict_fn (VERDICT r4 #3/#4):
+    the CLIs must drive the H-sharded wavefront/halo inference path
+    end-to-end, not just the library API."""
+
+    def test_predict_cli_sharded(self, tmp_path):
+        import predict
+
+        out = tmp_path / "result"
+        predict.main(
+            [
+                "--synthetic_data", "1",
+                "--model", "GANet_small",
+                "--crop_height", "48",
+                "--crop_width", "96",
+                "--max_disp", "24",
+                "--space", "2",
+                "--data", "2",
+                "--batch", "2",
+                "--save_path", str(out),
+            ]
+        )
+        pngs = sorted(out.glob("*.png"))
+        assert len(pngs) == 4  # synthetic predict set length
+
+    def test_predict_cli_batch_not_divisible(self):
+        import pytest
+
+        import predict
+
+        with pytest.raises(SystemExit):
+            predict.main(
+                [
+                    "--synthetic_data", "1",
+                    "--model", "GANet_small",
+                    "--crop_height", "48",
+                    "--crop_width", "96",
+                    "--max_disp", "24",
+                    "--data", "2",
+                    "--batch", "3",
+                ]
+            )
+
+    def test_evaluation_cli_sharded_matches_unsharded(self, tmp_path):
+        # Fresh-init weights, synthetic set: the mesh-routed online eval
+        # must agree with the single-device path on every metric.
+        common = [
+            "--test_list", "unused.list",
+            "--synthetic_data", "1",
+            "--model", "GANet_small",
+            "--crop_height", "48",
+            "--crop_width", "96",
+            "--max_disp", "24",
+            "--max_samples", "4",
+        ]
+        r_plain = evaluation.main(common)
+        r_mesh = evaluation.main(common + ["--space", "2", "--data", "2"])
+        for k in r_plain:
+            assert abs(r_plain[k] - r_mesh[k]) < 1e-3, (k, r_plain, r_mesh)

@@ -1,5 +1,7 @@
 """Model shape / init / forward tests (SURVEY.md §4)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -234,6 +236,60 @@ class TestFoldableBN:
         np.testing.assert_allclose(
             np.asarray(yre), np.asarray(yme), rtol=1e-5, atol=1e-5
         )
+
+    def test_axis_name_syncs_stats_under_shard_map(self, rng):
+        """With axis_name set, shard_map'd train-mode FoldableBN over a
+        2-way data mesh matches the unsharded global-batch computation
+        (sync-BN; ADVICE r4 #3)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        from ganet_tpu.models.layers import FoldableBN
+
+        key = jax.random.PRNGKey(1)
+        # Per-shard distributions differ (scale 1 vs 3) so per-device
+        # stats would NOT match global stats — the sync must be real.
+        x = jnp.asarray(
+            np.concatenate(
+                [
+                    rng.standard_normal((2, 4, 6, 5)).astype(np.float32),
+                    3.0 * rng.standard_normal((2, 4, 6, 5)).astype(np.float32)
+                    + 2.0,
+                ]
+            )
+        )
+        # Init with the axis-free twin (identical variable tree): pmean is
+        # unbound outside shard_map.
+        v = FoldableBN(5).init(key, x, True)
+        y_ref, u_ref = FoldableBN(5).apply(v, x, True, mutable=["batch_stats"])
+        mine = FoldableBN(5, axis_name="data")
+
+        mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+
+        @jax.jit
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P("data")),
+            out_specs=(P("data"), P()),
+        )
+        def run(v, xs):
+            y, u = mine.apply(v, xs, True, mutable=["batch_stats"])
+            return y, u
+
+        y_sm, u_sm = run(v, x)
+        np.testing.assert_allclose(
+            np.asarray(y_ref), np.asarray(y_sm), rtol=1e-5, atol=1e-5
+        )
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(u_ref["batch_stats"][k]),
+                np.asarray(u_sm["batch_stats"][k]),
+                rtol=1e-5,
+                atol=1e-5,
+            )
 
     def test_foldable_convtranspose_matches_nn(self, rng):
         import flax.linen as nn

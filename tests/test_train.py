@@ -388,5 +388,65 @@ class TestCLIConfig:
         )
         cfg = train_cli.build_config(args)
         assert cfg.model.remat == "full"
+        # Default promoted to the measured best single-chip config
+        # (batch 2, remat=sga — TRAIN_BENCH r4/r5; VERDICT r4 #2).
         args = train_cli.parse_args(["--synthetic_data", "1"])
-        assert train_cli.build_config(args).model.remat == "none"
+        cfg = train_cli.build_config(args)
+        assert cfg.model.remat == "sga"
+        assert cfg.batch_size == 2
+
+
+class TestSparseGT:
+    """KITTI-style sparse supervision (reference --kitti2015 fine-tune,
+    SURVEY.md §3.5): GT thinned to ~30% coverage with a LiDAR-like
+    pattern must still train (VERDICT r4 #3)."""
+
+    def test_lidar_mask_coverage(self):
+        from ganet_tpu.data.dataset import SyntheticStereoDataset
+
+        ds = SyntheticStereoDataset(
+            crop_height=48, crop_width=96, max_disp=24, sparse_frac=0.3
+        )
+        s = ds[0]
+        frac = float(s["valid"].mean())
+        assert 0.15 < frac < 0.35, frac
+        # no returns in the upper frame (LiDAR pattern)
+        assert s["valid"][: int(48 * 0.3)].sum() == 0.0
+        # dense counterpart has strictly more supervision
+        dense = SyntheticStereoDataset(
+            crop_height=48, crop_width=96, max_disp=24
+        )[0]
+        assert dense["valid"].mean() > frac
+
+    def test_train_step_sparse_loss_finite_and_masked(self, tmp_path):
+        from ganet_tpu.train.trainer import Trainer
+
+        cfg = _tiny_cfg(tmp_path)
+        cfg = dataclasses_replace_data(cfg, sparse_frac=0.3)
+        t = Trainer(cfg)
+        try:
+            state = t.fit()
+            rows = _read_log(cfg.save_path)
+            train_rows = [r for r in rows if r.get("prefix", "").startswith("epoch")]
+            assert train_rows, rows
+            for r in train_rows:
+                assert np.isfinite(r["loss"])
+                assert r["valid_frac"] < 0.5  # sparse mask reached the step
+                assert "lr" in r
+        finally:
+            t.close()
+
+
+def dataclasses_replace_data(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, **kw))
+
+
+def _read_log(save_path):
+    import json
+    import os
+
+    path = os.path.join(save_path, "train.jsonl")
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]

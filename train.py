@@ -34,7 +34,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--crop_height", type=int, default=240)
     p.add_argument("--crop_width", type=int, default=528)
     p.add_argument("--max_disp", type=int, default=192)
-    p.add_argument("--batchSize", type=int, default=8)
+    # Default batch/remat are the measured single-chip sweet spot (batch 2,
+    # remat=sga: 3.22 pairs/s vs 3.00 at batch 4 remat=full — TRAIN_BENCH
+    # r4/r5; the reference default batchSize 8 does not fit one 16 GiB
+    # chip at the 240x528 crop).  Multi-chip runs should scale batchSize
+    # with --mesh_data.
+    p.add_argument("--batchSize", type=int, default=2)
     p.add_argument("--nEpochs", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--kitti", type=int, default=0)
@@ -51,6 +56,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     # TPU-native additions.
     p.add_argument("--synthetic_data", type=int, default=0,
                    help="train on the procedural dataset (tests/smoke)")
+    p.add_argument("--sparse_frac", type=float, default=0.0,
+                   help="synthetic data: thin GT to ≈ this valid fraction "
+                        "with a KITTI-LiDAR-like pattern (sparse-"
+                        "supervision fine-tune regime; 0 = dense)")
     p.add_argument("--steps", type=int, default=0, help="steps per epoch cap")
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_space", type=int, default=1)
@@ -60,11 +69,13 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--bf16", type=int, default=0, help="bfloat16 conv compute")
     p.add_argument("--sga_impl", type=str, default="auto",
                    choices=["auto", "scan", "pallas"])
-    p.add_argument("--remat", type=str, default="none",
+    p.add_argument("--remat", type=str, default="sga",
                    choices=["none", "sga", "full"],
                    help="rematerialization policy: trade backward "
-                        "recompute for activation memory (remat=full fits "
-                        "batch 4 of the 240x528 crop on one 16 GiB chip)")
+                        "recompute for activation memory (default sga — "
+                        "the measured best throughput at the default "
+                        "batch 2; remat=full fits batch 4-6 of the "
+                        "240x528 crop on one 16 GiB chip)")
     p.add_argument("--distributed", type=int, default=0,
                    help="multi-host: jax.distributed.initialize() before "
                         "building the mesh (coordinator from the standard "
@@ -107,6 +118,7 @@ def build_config(args: argparse.Namespace) -> TrainConfig:
             kind=kind,
             left_right=bool(args.left_right),
             num_prefetch=args.prefetch,
+            sparse_frac=args.sparse_frac,
         ),
         optim=OptimConfig(
             lr=args.lr,
