@@ -258,41 +258,6 @@ class FastConv3d(nn.Module):
         return y.astype(self.dtype)
 
 
-class FoldableConvTranspose(nn.Module):
-    """nn.ConvTranspose-compatible module (same "kernel" param layout under
-    the same auto-name position) accepting a folded per-output-channel
-    affine, so deconv+BN+ReLU also collapses to one conv call at eval (the
-    hourglass ascent's full-res deconvs pay a ~2 ms BN pass otherwise)."""
-
-    features: int
-    kernel_size: tuple
-    strides: tuple
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(
-        self, x: jnp.ndarray, scale=None, offset=None
-    ) -> jnp.ndarray:
-        kernel = self.param(
-            "kernel",
-            nn.initializers.he_normal(),
-            (*self.kernel_size, x.shape[-1], self.features),
-            jnp.float32,
-        )
-        if scale is not None:
-            kernel = kernel * scale
-        y = lax.conv_transpose(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            self.strides,
-            "SAME",
-            transpose_kernel=False,
-        )
-        if offset is not None:
-            y = y + offset.astype(y.dtype)
-        return y.astype(self.dtype)
-
-
 class BasicConv(nn.Module):
     """Conv/deconv + optional BatchNorm + optional ReLU (2D or 3D)."""
 
@@ -315,26 +280,16 @@ class BasicConv(nn.Module):
             # Stride-2 deconv uses a 4-wide kernel for exact 2x upsampling
             # (reference uses ConvTranspose(kernel=4, stride=2, padding=1)).
             k = 4 if self.stride == 2 else self.kernel_size
-            if self.use_bn:
-                # Eval-time BN folding, as on the fast3d path below.
-                deconv = FoldableConvTranspose(
-                    self.features,
-                    kernel_size=(k,) * dims,
-                    strides=strides,
-                    dtype=self.dtype,
-                    name="ConvTranspose_0",
-                )
-                bn = FoldableBN(
-                    self.features, dtype=self.dtype, name="BatchNorm_0"
-                )
-                if train:
-                    x = bn(deconv(x), train=True)
-                else:
-                    s, t = bn.affine()
-                    x = deconv(x, scale=s, offset=t)
-                if self.relu:
-                    x = nn.relu(x)
-                return x
+            # NO BN folding on deconvs — measured NEGATIVE result (round 5
+            # bisect): folding the eval BN affine into the ConvTranspose
+            # kernel (round 4's FoldableConvTranspose) regressed the
+            # batch-4 flagship inference 1073 -> 1268 ms (-15%), neutral
+            # at batch 1; disabling it restored 1073.0 ms in the same
+            # session (probe-pinned chip state).  The bare lhs-dilated
+            # convolution lowers to identical StableHLO either way, so the
+            # kernel-side affine (kernel*s per call) evidently defeats a
+            # weight-processing fast path at larger batch.  The conv-side
+            # fold (FastConv3d below) remains a measured win.
             x = nn.ConvTranspose(
                 self.features,
                 kernel_size=(k,) * dims,

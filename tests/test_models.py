@@ -291,38 +291,17 @@ class TestFoldableBN:
                 atol=1e-5,
             )
 
-    def test_foldable_convtranspose_matches_nn(self, rng):
-        import flax.linen as nn
+    def test_basicconv_deconv_param_tree_stable(self, rng):
+        """The deconv+BN path must keep nn.ConvTranspose/nn.BatchNorm's
+        variable layout (checkpoint compatibility) — pinned because this
+        path has now changed twice: round 4 folded the eval BN into the
+        deconv kernel (FoldableConvTranspose), round 5 removed the fold
+        after bisecting the flagship batch-4 inference regression
+        (1073 -> 1268 ms) to exactly that change."""
         import jax
         import jax.numpy as jnp
 
-        from ganet_tpu.models.layers import FoldableConvTranspose
-
-        key = jax.random.PRNGKey(0)
-        x = jnp.asarray(
-            rng.standard_normal((2, 4, 6, 8, 5)).astype(np.float32)
-        )
-        ref = nn.ConvTranspose(
-            3, kernel_size=(4, 4, 4), strides=(2, 2, 2), padding="SAME",
-            use_bias=False, kernel_init=nn.initializers.he_normal(),
-        )
-        vr = ref.init(key, x)
-        yr = ref.apply(vr, x)
-        mine = FoldableConvTranspose(3, kernel_size=(4, 4, 4), strides=(2, 2, 2))
-        ym = mine.apply({"params": vr["params"]}, x)
-        np.testing.assert_allclose(
-            np.asarray(yr), np.asarray(ym), rtol=1e-5, atol=1e-5
-        )
-
-    def test_basicconv_deconv_fold_matches_unfolded(self, rng):
-        import jax
-        import jax.numpy as jnp
-
-        from ganet_tpu.models.layers import (
-            BasicConv,
-            FoldableBN,
-            FoldableConvTranspose,
-        )
+        from ganet_tpu.models.layers import BasicConv
 
         key = jax.random.PRNGKey(0)
         x = jnp.asarray(
@@ -334,26 +313,8 @@ class TestFoldableBN:
         )
         v = bc.init(key, x, True)
         assert set(v["params"]) == {"ConvTranspose_0", "BatchNorm_0"}
-        _, upd = bc.apply(v, x, True, mutable=["batch_stats"])
-        v2 = {"params": v["params"], "batch_stats": upd["batch_stats"]}
-        y_fold = bc.apply(v2, x, False)
-        yc = FoldableConvTranspose(
-            3, kernel_size=(4, 4, 4), strides=(2, 2, 2)
-        ).apply({"params": v2["params"]["ConvTranspose_0"]}, x)
-        yb = FoldableBN(3).apply(
-            {
-                "params": v2["params"]["BatchNorm_0"],
-                "batch_stats": v2["batch_stats"]["BatchNorm_0"],
-            },
-            yc,
-            False,
-        )
-        np.testing.assert_allclose(
-            np.asarray(y_fold),
-            np.asarray(jnp.maximum(yb, 0)),
-            rtol=2e-5,
-            atol=2e-5,
-        )
+        assert set(v["batch_stats"]) == {"BatchNorm_0"}
+        assert v["params"]["ConvTranspose_0"]["kernel"].shape == (4, 4, 4, 5, 3)
 
     def test_basicconv_fold_matches_unfolded(self, rng):
         import jax
