@@ -79,6 +79,15 @@ class ModelConfig:
     # The reference has no equivalent (PyTorch saves everything; its
     # training fit 2 pairs/GPU at 240x528 on 32 GB — SURVEY.md §2 #12).
     remat: str = "none"
+    # Channel-wise tensor parallelism (SURVEY §2 census "TP: shard 3D-conv
+    # channels over mesh axis"): when True and the model runs with a mesh,
+    # the 'disp' mesh axis shards the aggregation hourglass's CHANNELS
+    # instead of its disparity bins — GSPMD partitions each 3D conv's
+    # feature dim (weight + activation memory scaling).  The SGA/LGA
+    # kernel phases re-shard to channel-replicated around the sweeps
+    # (their recurrences are channelwise-independent but the Pallas calls
+    # are not GSPMD-partitionable at jit level).
+    channel_tp: bool = False
 
     @property
     def disp_channels(self) -> int:

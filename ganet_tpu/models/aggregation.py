@@ -32,7 +32,7 @@ from ganet_tpu.models.layers import (
 from ganet_tpu.ops import dispatch
 from ganet_tpu.ops.disparity import disparity_regression, trilinear_upsample
 from ganet_tpu.ops.normalize import l1_normalize, normalize_weights
-from ganet_tpu.parallel.mesh import constrain_volume
+from ganet_tpu.parallel.mesh import constrain_sweep, constrain_volume
 
 
 class SGABlock(nn.Module):
@@ -73,6 +73,12 @@ class SGABlock(nn.Module):
         k = g.reshape(B, H, W, 4, 5, C)
         k = jnp.moveaxis(k, -1, 3)  # (B, H, W, C, 4, 5)
         k = normalize_weights(k, cfg.sga_norm, axis=-1)
+        if cfg.channel_tp:
+            # Channel-TP shards the hourglass's C over the 'disp' mesh
+            # axis; the sweep kernels run channel-local, so re-shard to
+            # the (data, space)-only sweep layout here (the conv-phase
+            # constraint after the block re-shards C).
+            x = constrain_sweep(x, self.mesh)
         x = dispatch.sga(x, k, impl=cfg.sga_impl, mesh=self.mesh)
         # dtype= throughout: a dtype-less flax layer silently promotes the
         # full-res volume to f32 (2x HBM traffic per pass — measured ~17 ms
@@ -270,7 +276,7 @@ class CostAggregation(nn.Module):
                 # Back to the conv-phase layout (disp re-sharded over
                 # 'disp') after the sweep phase, per SURVEY.md §5: sweeps
                 # keep D local, convs shard it.
-                x = constrain_volume(x, self.mesh)
+                x = constrain_volume(x, self.mesh, cfg.channel_tp)
             return x
 
         def maybe_sga_half(x):
@@ -280,7 +286,7 @@ class CostAggregation(nn.Module):
                     chans[1], cfg, mesh=self.mesh, name=f"sga_half{half_i}"
                 )(x, sg_half[half_i], train)
                 half_i += 1
-                x = constrain_volume(x, self.mesh)
+                x = constrain_volume(x, self.mesh, cfg.channel_tp)
             return x
 
         outputs: List[jnp.ndarray] = []
@@ -289,7 +295,7 @@ class CostAggregation(nn.Module):
         # disparity over 'disp', height over 'space' (SURVEY.md §5 — the
         # 3D convs shard D with kd=3 halo exchange handled by GSPMD; the
         # SGA shard_map re-shards to D-local around the sweeps).
-        cv = constrain_volume(cv, self.mesh)
+        cv = constrain_volume(cv, self.mesh, cfg.channel_tp)
         x = conv3(C, relu=False)(cv, train)
         x = maybe_sga_full(x)
         if train:

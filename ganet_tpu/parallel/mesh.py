@@ -52,9 +52,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", "space"))
 
 
-def volume_sharding(mesh: Mesh) -> NamedSharding:
+def volume_sharding(mesh: Mesh, channel_tp: bool = False) -> NamedSharding:
     """(B, D, H, W, C) cost volumes in the conv phase: batch over 'data',
-    disparity over 'disp', height over 'space' (SURVEY.md §5)."""
+    disparity over 'disp', height over 'space' (SURVEY.md §5).
+
+    channel_tp=True repurposes the 'disp' mesh axis to shard conv CHANNELS
+    instead of disparity bins (SURVEY §2 census "tensor parallel: shard
+    3D-conv channels over mesh axis"): activations carry C/n channels per
+    device and GSPMD partitions each 3D conv's feature dimension —
+    weight-memory scaling for the hourglass where disparity sharding
+    would instead pay kd=3 halo exchanges over D."""
+    if channel_tp:
+        return NamedSharding(mesh, P("data", None, "space", None, "disp"))
     return NamedSharding(mesh, P("data", "disp", "space"))
 
 
@@ -65,23 +74,42 @@ def fullres_volume_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", None, "space"))
 
 
-def constrain_volume(x, mesh: Optional[Mesh]):
+def constrain_volume(x, mesh: Optional[Mesh], channel_tp: bool = False):
     """with_sharding_constraint to the conv-phase (5D) or full-res head
     (4D) volume layout (no-op without a mesh or when the volume axes don't
-    divide the mesh)."""
+    divide the mesh).  channel_tp shards the 5D volume's channel axis over
+    'disp' instead of disparity (see volume_sharding)."""
     if mesh is None:
         return x
     if x.ndim == 4:
         if x.shape[0] % mesh.shape["data"] or x.shape[2] % mesh.shape["space"]:
             return x
         return jax.lax.with_sharding_constraint(x, fullres_volume_sharding(mesh))
-    if (
-        x.shape[0] % mesh.shape["data"]
-        or x.shape[1] % mesh.shape["disp"]
-        or x.shape[2] % mesh.shape["space"]
-    ):
+    if x.shape[0] % mesh.shape["data"] or x.shape[2] % mesh.shape["space"]:
+        return x
+    if channel_tp:
+        if x.shape[4] % mesh.shape["disp"]:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, volume_sharding(mesh, channel_tp=True)
+        )
+    if x.shape[1] % mesh.shape["disp"]:
         return x
     return jax.lax.with_sharding_constraint(x, volume_sharding(mesh))
+
+
+def constrain_sweep(x, mesh: Optional[Mesh]):
+    """Constrain a 5D volume to the SWEEP-phase layout: batch over 'data',
+    H over 'space', D and C local — used under channel_tp to re-shard the
+    hourglass's C-sharded activations before the SGA kernels (whose Pallas
+    calls GSPMD cannot partition at jit level)."""
+    if mesh is None or x.ndim != 5:
+        return x
+    if x.shape[0] % mesh.shape["data"] or x.shape[2] % mesh.shape["space"]:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P("data", None, "space"))
+    )
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -64,6 +64,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_space", type=int, default=1)
     p.add_argument("--mesh_disp", type=int, default=1)
+    p.add_argument("--channel_tp", type=int, default=0,
+                   help="shard 3D-conv CHANNELS (not disparity bins) over "
+                        "the mesh_disp axis — weight/activation memory "
+                        "scaling for the aggregation hourglass")
     p.add_argument("--eval", type=int, default=0, help="validate after training")
     p.add_argument("--lr_decay_epoch", type=int, default=0)
     p.add_argument("--bf16", type=int, default=0, help="bfloat16 conv compute")
@@ -106,6 +110,7 @@ def build_config(args: argparse.Namespace) -> TrainConfig:
         compute_dtype="bfloat16" if args.bf16 else "float32",
         sga_impl=args.sga_impl,
         remat=args.remat,
+        channel_tp=bool(args.channel_tp),
     )
     return TrainConfig(
         model=model,
