@@ -217,16 +217,26 @@ def main(argv=None):
                 est = m1 + (m1 - m0) * (b - b1) / max(b1 - b0, 1)
             elif ok_mem:
                 est = ok_mem[-1][1] * b / ok_mem[-1][0]
+            basis = (
+                f"(extrapolated from the compiler's own estimates at "
+                f"batches {[x[0] for x in ok_mem]})"
+            )
             if est and hbm_limit and est > hbm_limit:
                 reason = (
                     f"HBM-infeasible: extrapolated compiler memory "
                     f"≈{est / 2**30:.1f} GiB > {hbm_limit / 2**30:.0f} GiB "
-                    f"device limit (from measured estimates at batches "
-                    f"{[x[0] for x in ok_mem]})"
+                    f"device limit {basis}"
+                )
+            elif est and hbm_limit and est > 0.95 * hbm_limit:
+                reason = (
+                    f"HBM-infeasible at the boundary: extrapolated "
+                    f"≈{est / 2**30:.1f} GiB vs the {hbm_limit / 2**30:.0f} "
+                    f"GiB limit — over it once runtime reserves are "
+                    f"included {basis}"
                 )
             elif est:
                 reason = (
-                    f"compile failed below the HBM limit (extrapolated "
+                    f"compile failed well below the HBM limit (extrapolated "
                     f"≈{est / 2**30:.1f} GiB of {hbm_limit / 2**30 if hbm_limit else 0:.0f} GiB)"
                     " — compiler/relay fault, not memory"
                 )
