@@ -48,6 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 _HALO_H = 8    # sublane tile
 _HALO_W = 128  # lane tile
 _LANES_W = 128  # lane-tile width (v2 pads full rows to this multiple)
+# Mosaic unroll limit for the v2 forward kernel: Dt*Ht*Wk at or above this
+# product crashes the TPU compiler (see _select_tiles docstring).
+_UNROLL_CAP = 327680
 
 
 def _interpret() -> bool:
@@ -181,12 +184,15 @@ def _select_tiles(W: int, K: int, x_isize: int, g_isize: int):
     between (16, 8) and (16, 16) at W=960 f32 — the kernel is VPU-bound,
     so shrinking tiles on wide images costs little.
 
-    (32, 16) is deliberately absent from the preference table: at Wk=640
-    f32 (the 240x528 training crop) it passes the budget check but CRASHES
-    the Mosaic TPU compiler (remote compile-helper subprocess abort,
-    isolated round 3 — the Dt x Ht unroll at full row width appears to
-    exceed a compiler limit); (32, 8) and (16, 16) are measured
-    performance-neutral, so nothing is lost by skipping it.
+    Besides VMEM, tiles are capped by a Mosaic UNROLL limit: the kernel
+    body is a Dt x 75-tap x (Ht, Wk)-row unroll, and configurations with
+    Dt*Ht*Wk >= 327680 crash the Mosaic compiler (remote compile-helper
+    subprocess abort).  Two independent crash points sit exactly at that
+    product — (32, 16) at Wk=640 f32, isolated round 3, and (32, 8) at
+    Wk=1280 bf16 (the 384x1248 KITTI frame), isolated round 5 — while
+    (32, 8) at Wk=1152 (= 294912) compiles everywhere.  _UNROLL_CAP
+    rejects such tiles up front; the smaller fallbacks are measured
+    performance-neutral (the kernel is VPU-bound), so nothing is lost.
     """
     r = (K - 1) // 2
     Wk = _round_up(W + 2 * r, _LANES_W)
@@ -196,6 +202,8 @@ def _select_tiles(W: int, K: int, x_isize: int, g_isize: int):
         win = 2 * (dt + 2) * (ht + 2 * _HALO_H) * Wk * x_isize
         gbuf = 3 * K * K * ht * Wk * g_isize
         outbuf = 2 * dt * ht * Wk * x_isize
+        if dt * ht * Wk >= _UNROLL_CAP:
+            continue
         if win + gbuf + outbuf <= budget:
             Ht, Dt = ht, dt
             break

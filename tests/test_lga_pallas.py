@@ -139,3 +139,29 @@ class TestTileSelection:
 
         assert _select_tiles(528, 5, 4, 4)[:2] == (32, 8)
         assert _select_tiles(960, 5, 4, 4)[:2] == (16, 16)
+
+
+class TestTileSelection:
+    """_select_tiles must never emit a configuration at or above the
+    Mosaic unroll cap — two independent on-chip crash points sit exactly
+    at Dt*Ht*Wk = 327680: (32,16) at Wk=640 f32 (round 3) and (32,8) at
+    Wk=1280 bf16, i.e. the 384x1248 KITTI frame with bf16 heads
+    (round 5).  Chip-only crash, so the guard is pinned here as a pure
+    function test."""
+
+    def test_unroll_cap_respected(self):
+        from ganet_tpu.ops.lga_pallas import _UNROLL_CAP, _select_tiles
+
+        for W in (528, 960, 1248, 1280, 2048):
+            for isize in (2, 4):
+                Ht, Dt, Wk = _select_tiles(W, 5, isize, isize)
+                assert Dt * Ht * Wk < _UNROLL_CAP, (W, isize, Ht, Dt, Wk)
+
+    def test_kitti_frame_bf16_picks_safe_tile(self):
+        from ganet_tpu.ops.lga_pallas import _select_tiles
+
+        # bf16 at the KITTI frame: the old selection picked (32, 8) at
+        # Wk=1280 (= the crash product); must now fall back.
+        Ht, Dt, Wk = _select_tiles(1248, 5, 2, 2)
+        assert Wk == 1280
+        assert (Ht, Dt) != (32, 8)
