@@ -18,7 +18,7 @@ Flags:
 
 The default batch is 4: pairs/s/chip is a THROUGHPUT metric and batching
 amortizes per-kernel fixed costs that dominate at batch 1 on this model
-(measured: 2.36 pairs/s at batch 1, 3.09 at batch 2, 3.41 at batch 4).
+(measured r5: 2.43 pairs/s at batch 1, 3.73 at batch 4, 3.61 at batch 6).
 Use --batch 1 for single-pair latency.
 """
 
