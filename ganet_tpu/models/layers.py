@@ -288,8 +288,14 @@ class BasicConv(nn.Module):
             # session (probe-pinned chip state).  The bare lhs-dilated
             # convolution lowers to identical StableHLO either way, so the
             # kernel-side affine (kernel*s per call) evidently defeats a
-            # weight-processing fast path at larger batch.  The conv-side
-            # fold (FastConv3d below) remains a measured win.
+            # weight-processing fast path at larger batch.  The fold also
+            # had NOTHING to save: an isolated on-chip probe of the
+            # representative hourglass deconv (4,32,96,160,48)->stride-2
+            # bf16 measures deconv+relu 27.08 ms vs deconv+BN-affine+relu
+            # 26.92 ms — XLA fuses the post-deconv scale/shift for free,
+            # unlike the plain-conv case where the separate BN pass was
+            # real (profile_agg `sga_tail_bn_relu`, 2.15 ms).  The
+            # conv-side fold (FastConv3d below) remains a measured win.
             x = nn.ConvTranspose(
                 self.features,
                 kernel_size=(k,) * dims,
