@@ -103,14 +103,21 @@ def main(argv=None):
 
     # Pinned fixed-shape probe: quantifies chip-state drift between runs
     # (VERDICT r4 #1a).  Expected ~constant across sessions; if the model
-    # latency moves but the probe doesn't, the change is real.
-    probe_ms = drift_probe_ms()
+    # latency moves but the probe doesn't, the change is real.  TPU-only:
+    # on a CPU backend there is no chip state to pin, and the 2.2-TFLOP
+    # bf16 chains would take minutes of emulated compute.
+    probe_ms = (
+        drift_probe_ms()
+        if jax.default_backend() in ("tpu", "axon")
+        else None
+    )
 
     print(
         f"# model={cfg.name} {H}x{W} D={cfg.max_disp} batch={B} "
         f"dtype={args.dtype} impl={args.impl} backend={jax.default_backend()} "
         f"init={init_s:.1f}s compile={compile_s:.1f}s "
-        f"latency={sec_per_call * 1e3:.1f}ms probe={probe_ms:.2f}ms",
+        f"latency={sec_per_call * 1e3:.1f}ms"
+        + (f" probe={probe_ms:.2f}ms" if probe_ms is not None else ""),
         file=sys.stderr,
     )
     payload = {
@@ -118,7 +125,7 @@ def main(argv=None):
         "value": round(pairs_per_s, 4),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
-        "probe_ms": round(probe_ms, 2),
+        "probe_ms": round(probe_ms, 2) if probe_ms is not None else None,
     }
     if B > 1 and not args.quick:
         # Latency-vs-latency companion (VERDICT r3 #6): the headline is a

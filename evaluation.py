@@ -150,21 +150,20 @@ def main(argv=None):
                     "evaluation needs a trained checkpoint (or drop "
                     "--resume to evaluate fresh-init weights)"
                 )
-            import jax
+            import sys
 
-            from ganet_tpu.models import GANet
-            from ganet_tpu.train.trainer import InferenceState
+            from ganet_tpu.train.trainer import fresh_init_state
 
-            m = GANet(cfg.model)
-            dummy = jnp.zeros(
-                (1, args.crop_height, args.crop_width, 3), jnp.float32
+            # Loud: metrics from random weights must never pass silently
+            # as a real evaluation.
+            print(
+                "WARNING: no checkpoint under ./checkpoint/ — evaluating "
+                "FRESH-INIT (random) weights; metrics are meaningless "
+                "except as a smoke test",
+                file=sys.stderr,
             )
-            variables = jax.jit(
-                lambda k: m.init(k, dummy, dummy, train=True)
-            )(jax.random.PRNGKey(0))
-            state = InferenceState(
-                params=variables["params"],
-                batch_stats=variables.get("batch_stats", {}),
+            state = fresh_init_state(
+                cfg.model, args.crop_height, args.crop_width
             )
         from predict import build_mesh
 

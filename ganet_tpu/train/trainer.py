@@ -177,6 +177,22 @@ def load_inference_state(
     )
 
 
+def fresh_init_state(
+    model_cfg, height: int, width: int, seed: int = 0
+) -> InferenceState:
+    """Freshly-initialized InferenceState (random weights) for smoke runs
+    without a checkpoint — shared by the predict/eval CLI fallbacks."""
+    model = GANet(model_cfg)
+    dummy = jnp.zeros((1, height, width, 3), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, dummy, dummy, train=True))(
+        jax.random.PRNGKey(seed)
+    )
+    return InferenceState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+    )
+
+
 def make_predict_fn(cfg: TrainConfig, mesh: Optional[Mesh] = None):
     """Jitted inference: (state, left, right) -> disparity map.
 

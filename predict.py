@@ -97,7 +97,6 @@ def main(argv=None):
     from ganet_tpu.config import DataConfig, TrainConfig, model_config
     from ganet_tpu.data.dataset import SyntheticStereoDataset, StereoDataset
     from ganet_tpu.data.kitti_io import write_disparity_png
-    from ganet_tpu.models import GANet
     from ganet_tpu.train.trainer import load_inference_state, make_predict_fn
 
     kind = (
@@ -136,21 +135,16 @@ def main(argv=None):
         if args.resume:
             raise
         # No checkpoint: fresh-init weights (smoke runs on synthetic data).
-        import jax
+        import sys
 
-        m = GANet(model)
-        dummy = jnp.zeros(
-            (1, args.crop_height, args.crop_width, 3), jnp.float32
-        )
-        variables = jax.jit(
-            lambda k: m.init(k, dummy, dummy, train=True)
-        )(jax.random.PRNGKey(0))
-        from ganet_tpu.train.trainer import InferenceState
+        from ganet_tpu.train.trainer import fresh_init_state
 
-        state = InferenceState(
-            params=variables["params"],
-            batch_stats=variables.get("batch_stats", {}),
+        print(
+            "WARNING: no checkpoint under ./checkpoint/ — predicting with "
+            "FRESH-INIT (random) weights (smoke run)",
+            file=sys.stderr,
         )
+        state = fresh_init_state(model, args.crop_height, args.crop_width)
     mesh = build_mesh(args.data, args.space)
     if mesh is not None and args.batch % args.data:
         raise SystemExit(

@@ -212,11 +212,15 @@ def main(argv=None):
             # configs that DID compile at this remat policy.
             head = " ".join(str(e).split())[:300]
             est = None
-            if len(ok_mem) >= 2:
-                (b0, m0), (b1, m1) = ok_mem[-2], ok_mem[-1]
-                est = m1 + (m1 - m0) * (b - b1) / max(b1 - b0, 1)
-            elif ok_mem:
-                est = ok_mem[-1][1] * b / ok_mem[-1][0]
+            # Fit through the two largest successful batches (sorted —
+            # --batches need not be ascending; a descending or repeated
+            # list would otherwise yield a garbage/negative slope).
+            pts = sorted(set(ok_mem))
+            if len(pts) >= 2 and pts[-1][0] != pts[-2][0]:
+                (b0, m0), (b1, m1) = pts[-2], pts[-1]
+                est = m1 + (m1 - m0) * (b - b1) / (b1 - b0)
+            elif pts:
+                est = pts[-1][1] * b / pts[-1][0]
             basis = (
                 f"(extrapolated from the compiler's own estimates at "
                 f"batches {[x[0] for x in ok_mem]})"
@@ -234,11 +238,20 @@ def main(argv=None):
                     f"GiB limit — over it once runtime reserves are "
                     f"included {basis}"
                 )
-            elif est:
+            elif est and hbm_limit:
                 reason = (
                     f"compile failed well below the HBM limit (extrapolated "
-                    f"≈{est / 2**30:.1f} GiB of {hbm_limit / 2**30 if hbm_limit else 0:.0f} GiB)"
+                    f"≈{est / 2**30:.1f} GiB of {hbm_limit / 2**30:.0f} GiB)"
                     " — compiler/relay fault, not memory"
+                )
+            elif est:
+                # Unknown HBM capacity: report the estimate without
+                # asserting a fault class (an inverted 'not memory' call
+                # on an unrecognized chip would mislead).
+                reason = (
+                    f"compile failed; extrapolated compiler memory "
+                    f"≈{est / 2**30:.1f} GiB, device HBM limit unknown on "
+                    "this backend"
                 )
             else:
                 reason = "compile failed with no smaller-batch estimate to extrapolate from"

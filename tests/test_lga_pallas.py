@@ -141,13 +141,14 @@ class TestTileSelection:
         assert _select_tiles(960, 5, 4, 4)[:2] == (16, 16)
 
 
-class TestTileSelection:
+class TestUnrollCap:
     """_select_tiles must never emit a configuration at or above the
     Mosaic unroll cap — two independent on-chip crash points sit exactly
     at Dt*Ht*Wk = 327680: (32,16) at Wk=640 f32 (round 3) and (32,8) at
     Wk=1280 bf16, i.e. the 384x1248 KITTI frame with bf16 heads
     (round 5).  Chip-only crash, so the guard is pinned here as a pure
-    function test."""
+    function test.  (Distinct from TestTileSelection above, which pins
+    the known-crash config and production tile choices.)"""
 
     def test_unroll_cap_respected(self):
         from ganet_tpu.ops.lga_pallas import _UNROLL_CAP, _select_tiles
